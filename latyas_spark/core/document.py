@@ -1,0 +1,280 @@
+"""Per-page extraction kernel: the full LATYAS operator DAG.
+
+Reproduces the eight-stage physical plan of the reference's
+``BasePipeline.analyze_pdf`` (latyas/pipelines/base_pipeline.py:94-192)
+over span data, with every model call replaced by its deterministic
+span-derived equivalent:
+
+  detector ``detect``    -> sidecar rows (bbox, conf, raw label)
+  OCR ``recognize(crop)``-> gather of native text-layer rects whose
+                            intersection covers >0.5 of the smaller
+                            side (the reference's own text-layer gather,
+                            base_pipeline.py:17-42), newline-stripped
+                            and joined with "" (:40-41)
+  TexTeller equation OCR -> the equation span's own native text
+  GOT-OCR2 table OCR     -> the table span's own native text
+  TexMix mixed OCR       -> texmix.compose_text_with_equations
+
+Stages (reference cites):
+  1. confidence filter > 0.3 (ultralytics_layout_model.py:81)
+  2. label -> kind, ordered substring match (block.py:29-68)
+  3. overlap merge, strategy "merge" (layout.py:86-132 via :112)
+  4. equation OCR (:114-125)
+  5. embedded-equation containment, margin 20 (:127-152)
+  6. table OCR (:154-167)
+  7. text OCR for text-kind blocks without equations (:169-186)
+  8. xy-cut reflow margin=10 horizontal-first (:189-190)
+  9. emission filters (latyas/tools/pdf2text.py:30-39): skip blocks
+     with no text, skip EmbedEq, ``$$``-wrap Equation; optional CJK
+     cross-reference filters (pdf2txt.py:86-89)
+
+Extension beyond the reference's text-only sink (north rule:
+interleaved text + media): image-kind blocks are emitted as media spans
+(text NULL, media_ref kept) instead of being dropped.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import blocktypes as bt
+from .overlap import overlap_merge
+from .texmix import compose_text_with_equations
+from .xycut import xy_cut_order
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    conf_threshold: float = 0.3  # ultralytics_layout_model.py:81
+    area_threshold: float = 0.5  # layout.py:86
+    merge_strategy: str = "merge"  # base_pipeline.py:112
+    containment_margin: float = 20.0  # shape.py:121
+    xy_margin: float = 10.0  # xy_cut_reflow.py:190
+    max_depth: int = 8  # xy_cut_reflow.py:199
+    gather_ratio: float = 0.5  # base_pipeline.py:34
+    cjk_filters: bool = False  # pdf2txt.py:86-89 (report variant)
+    keep_media: bool = True  # extension: emit media spans
+
+
+DEFAULT_CONFIG = ExtractConfig()
+
+Span = Tuple[str, Optional[str], Optional[str]]  # (kind, text, media_ref)
+
+
+def gather_text(
+    rect: Tuple[float, float, float, float],
+    layer_rects: np.ndarray,
+    layer_areas: np.ndarray,
+    layer_texts: Sequence[str],
+    ratio: float,
+) -> str:
+    """Text-layer gather: the deterministic OCR stand-in.
+
+    Concatenates (separator "") the newline-stripped texts of every
+    text-layer rect whose intersection with ``rect`` exceeds ``ratio``
+    of the smaller area, in text-layer (offset) order — exactly the
+    reference's get_text_by_bbox (base_pipeline.py:17-42).
+    """
+    if len(layer_texts) == 0:
+        return ""
+    x1, y1, x2, y2 = rect
+    if x1 >= x2:  # Rectangle constructor clamp (shape.py:74-77)
+        x2 = x1
+    if y1 >= y2:
+        y2 = y1
+    rect_area = (x2 - x1) * (y2 - y1)
+    iw = np.minimum(layer_rects[:, 2], x2) - np.maximum(layer_rects[:, 0], x1)
+    ih = np.minimum(layer_rects[:, 3], y2) - np.maximum(layer_rects[:, 1], y1)
+    inter = np.where(iw > 0, iw, 0.0) * np.where(ih > 0, ih, 0.0)
+    denom = np.minimum(layer_areas, rect_area)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        overlap = np.where(denom > 0, inter / denom, 0.0)
+    hits = np.nonzero(overlap > ratio)[0]
+    return "".join(layer_texts[i].replace("\n", "") for i in hits)
+
+
+def extract_page(
+    x1: np.ndarray,
+    y1: np.ndarray,
+    x2: np.ndarray,
+    y2: np.ndarray,
+    conf: np.ndarray,
+    labels: Sequence[str],
+    texts: Sequence[Optional[str]],
+    media_refs: Sequence[Optional[str]],
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> List[Span]:
+    """Run the full page DAG; rows must be in span-offset order.
+
+    Each input row is both a detection candidate (bbox, conf, label)
+    and a text-layer rect (bbox, native text).  Returns the emitted
+    spans in reading order.
+    """
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    conf = np.asarray(conf, dtype=np.float64)
+    n = len(x1)
+
+    # text layer: every row with native text, regardless of confidence
+    layer_idx = [i for i in range(n) if texts[i] is not None]
+    layer_rects = np.stack(
+        [x1[layer_idx], y1[layer_idx], x2[layer_idx], y2[layer_idx]], axis=1
+    ) if layer_idx else np.empty((0, 4))
+    layer_areas = (
+        (layer_rects[:, 2] - layer_rects[:, 0]) * (layer_rects[:, 3] - layer_rects[:, 1])
+        if layer_idx
+        else np.empty(0)
+    )
+    layer_texts = [texts[i] for i in layer_idx]
+
+    def recognize(rect: Tuple[float, float, float, float]) -> str:
+        return gather_text(rect, layer_rects, layer_areas, layer_texts, cfg.gather_ratio)
+
+    # stage 1-2: confidence filter + label classification
+    det = np.nonzero(conf > cfg.conf_threshold)[0]
+    kinds = bt.kinds_from_labels([labels[i] for i in det])
+
+    # stage 3: overlap merge
+    keep, bx1, by1, bx2, by2, bkinds = overlap_merge(
+        x1[det], y1[det], x2[det], y2[det],
+        kinds, bt.TEXT_KIND_LOOKUP,
+        area_threshold=cfg.area_threshold,
+        strategy=cfg.merge_strategy,
+    )
+    src = det[keep]  # surviving block -> original row (payload carrier)
+    m = len(src)
+    block_text: List[Optional[str]] = [None] * m
+    has_eq = np.zeros(m, dtype=bool)
+
+    # stage 4: equation OCR (own span text)
+    for b in range(m):
+        if bkinds[b] == bt.EQUATION:
+            block_text[b] = texts[src[b]]
+
+    # stage 5: embedded-equation containment -> texmix compose
+    text_mask = bt.text_kind_mask(bkinds)
+    eq_member_offsets = set()
+    eq_blocks = [b for b in range(m) if bkinds[b] == bt.EMBED_EQ]
+    contained: List[List[int]] = [[] for _ in range(m)]
+    for b in range(m):
+        if not text_mask[b]:
+            continue
+        for e in eq_blocks:
+            if e == b:
+                continue
+            if (
+                bx1[e] >= bx1[b] - cfg.containment_margin
+                and by1[e] >= by1[b] - cfg.containment_margin
+                and bx2[e] <= bx2[b] + cfg.containment_margin
+                and by2[e] <= by2[b] + cfg.containment_margin
+            ):
+                contained[b].append(e)
+    for b in range(m):
+        if not contained[b]:
+            continue
+        has_eq[b] = True
+        eqs = contained[b]
+        eq_rects = [(bx1[e], by1[e], bx2[e], by2[e]) for e in eqs]
+        eq_texts = [texts[src[e]] or "" for e in eqs]
+        eq_rows = {int(src[e]) for e in eqs}
+        # mask analog: text lines overlapping the block, equations excluded
+        block_rect = (bx1[b], by1[b], bx2[b], by2[b])
+        line_rects = []
+        if len(layer_texts):
+            iw = np.minimum(layer_rects[:, 2], block_rect[2]) - np.maximum(
+                layer_rects[:, 0], block_rect[0]
+            )
+            ih = np.minimum(layer_rects[:, 3], block_rect[3]) - np.maximum(
+                layer_rects[:, 1], block_rect[1]
+            )
+            inter = np.where(iw > 0, iw, 0.0) * np.where(ih > 0, ih, 0.0)
+            block_area = (block_rect[2] - block_rect[0]) * (block_rect[3] - block_rect[1])
+            denom = np.minimum(layer_areas, block_area)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ov = np.where(denom > 0, inter / denom, 0.0)
+            for k in np.nonzero(ov > cfg.gather_ratio)[0]:
+                if layer_idx[k] in eq_rows:
+                    continue
+                line_rects.append(tuple(layer_rects[k]))
+        block_text[b] = compose_text_with_equations(
+            eq_rects, eq_texts, line_rects, recognize
+        )
+
+    # stage 6: table OCR (own span text)
+    for b in range(m):
+        if bkinds[b] == bt.TABLE:
+            block_text[b] = texts[src[b]]
+
+    # stage 7: text OCR via gather
+    for b in range(m):
+        if not text_mask[b] or has_eq[b]:
+            continue
+        text = recognize((bx1[b], by1[b], bx2[b], by2[b]))
+        if cfg.cjk_filters:
+            # pdf2txt.py:86-89: drop CJK cross-reference snippets
+            if text.startswith("图") or text.startswith("表"):
+                continue
+            if len(text) < 256 and ("见表" in text or "见图" in text):
+                continue
+        block_text[b] = text
+
+    # stage 8: xy-cut reflow
+    order = xy_cut_order(
+        bx1, by1, bx2, by2, margin=cfg.xy_margin, horizontal_first=True,
+        max_depth=cfg.max_depth,
+    )
+
+    # stage 9: emission
+    out: List[Span] = []
+    for b in order:
+        kind = int(bkinds[b])
+        name = bt.KIND_NAMES[kind]
+        if kind in bt.IMAGE_KINDS:
+            if cfg.keep_media:
+                out.append((name, None, media_refs[src[b]]))
+            continue
+        text = block_text[b]
+        if text is None:
+            continue
+        if kind == bt.EMBED_EQ:
+            continue
+        if kind == bt.EQUATION:
+            out.append((name, "\n$$\n" + text + "\n$$\n", None))
+        else:
+            out.append((name, text, None))
+    return out
+
+
+def extract_page_rows(rows: Sequence[dict], cfg: ExtractConfig = DEFAULT_CONFIG) -> List[Span]:
+    """Convenience wrapper over dict rows (offset order expected)."""
+    return extract_page(
+        np.array([r["x1"] for r in rows]),
+        np.array([r["y1"] for r in rows]),
+        np.array([r["x2"] for r in rows]),
+        np.array([r["y2"] for r in rows]),
+        np.array([r["conf"] for r in rows]),
+        [r["label"] for r in rows],
+        [r["text"] for r in rows],
+        [r["media_ref"] for r in rows],
+        cfg,
+    )
+
+
+def extract_document_rows(
+    rows: Sequence[dict], cfg: ExtractConfig = DEFAULT_CONFIG
+) -> List[Tuple[str, Optional[str], Optional[str], int]]:
+    """Run every page of a doc, assigning a doc-wide reading order."""
+    pages = sorted({r["page"] for r in rows})
+    out: List[Tuple[str, Optional[str], Optional[str], int]] = []
+    pos = 0
+    for p in pages:
+        page_rows = sorted((r for r in rows if r["page"] == p), key=lambda r: r["offset"])
+        for kind, text, media in extract_page_rows(page_rows, cfg):
+            out.append((kind, text, media, pos))
+            pos += 1
+    return out
