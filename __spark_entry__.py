@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction DAG (classify -> overlap
+merge -> containment/texmix -> gather -> xy-cut reflow -> emission)
+over a corpus derived deterministically from the driver's sf0.001
+``events`` table.  ``queries()``/``oracle_sql()`` expose every operator
+family from SURVEY.md §2 with DuckDB oracles (latyas_spark/relational/
+registry.py documents the cross-engine determinism rules).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from latyas_spark.pipeline.adapter import synth_blocks
+    from latyas_spark.pipeline.extract import extract_spans_flat
+
+    return extract_spans_flat(synth_blocks(spark, "/root/testdata/sf0.001"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator family from SURVEY.md §2."""
+    from latyas_spark.relational.registry import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-equivalent SQL for every SQL-expressible queries() entry.
+
+    ``flagship_extract`` is omitted deliberately: xy-cut reading-order
+    recovery is data-dependent recursion, not ANSI-SQL-expressible; its
+    byte-exact correctness is covered by the golden span-equality suite
+    (tests/test_pipeline_spark.py) against an independent oracle port.
     """
-    return {}
+    from latyas_spark.relational.registry import oracle_sql as _oracle
+
+    return _oracle()

@@ -90,9 +90,10 @@ def gather_text(
     ih = np.minimum(layer_rects[:, 3], y2) - np.maximum(layer_rects[:, 1], y1)
     inter = np.where(iw > 0, iw, 0.0) * np.where(ih > 0, ih, 0.0)
     denom = np.minimum(layer_areas, rect_area)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        overlap = np.where(denom > 0, inter / denom, 0.0)
-    hits = np.nonzero(overlap > ratio)[0]
+    # zero-area guard without errstate (reference would divide by zero)
+    hits = np.nonzero(inter > ratio * denom)[0]
+    if len(hits) and not (denom[hits] > 0).all():
+        hits = hits[denom[hits] > 0]
     return "".join(layer_texts[i].replace("\n", "") for i in hits)
 
 
@@ -195,9 +196,8 @@ def extract_page(
             inter = np.where(iw > 0, iw, 0.0) * np.where(ih > 0, ih, 0.0)
             block_area = (block_rect[2] - block_rect[0]) * (block_rect[3] - block_rect[1])
             denom = np.minimum(layer_areas, block_area)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                ov = np.where(denom > 0, inter / denom, 0.0)
-            for k in np.nonzero(ov > cfg.gather_ratio)[0]:
+            # inter <= denom, so inter > ratio*denom implies denom > 0
+            for k in np.nonzero(inter > cfg.gather_ratio * denom)[0]:
                 if layer_idx[k] in eq_rows:
                     continue
                 line_rects.append(tuple(layer_rects[k]))

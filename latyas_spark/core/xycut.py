@@ -80,11 +80,39 @@ def grid_sort_indices(
     return idx[perm]
 
 
+def _grid_sort_list(X1, Y1, X2, Y2, idx: list) -> list:
+    """List-based grid sort (same semantics as grid_sort_indices);
+    page-sized subsets are faster in plain Python than NumPy."""
+    if not idx:
+        return idx
+    min_x, min_y, max_x, max_y = X1[0], Y1[0], X2[0], Y2[0]
+    for i in idx:
+        if X1[i] < min_x:
+            min_x = X1[i]
+        if X2[i] > max_x:
+            max_x = X2[i]
+        if Y1[i] < min_y:
+            min_y = Y1[i]
+        if Y2[i] > max_y:
+            max_y = Y2[i]
+    sf_y = (max_y - min_y) // 16 or 1.0
+    sf_x = (max_x - min_x) // 3 or 1.0
+    keyed = sorted(
+        (
+            (int(X1[i]) // sf_x, int(Y1[i]) // sf_y,
+             int(X2[i]) // sf_x, int(Y2[i]) // sf_y),
+            k,
+        )
+        for k, i in enumerate(idx)
+    )
+    return [idx[k] for _, k in keyed]
+
+
 def xy_cut_order(
-    x1: np.ndarray,
-    y1: np.ndarray,
-    x2: np.ndarray,
-    y2: np.ndarray,
+    x1,
+    y1,
+    x2,
+    y2,
     margin: float = 10.0,
     horizontal_first: bool = True,
     max_depth: int = 8,
@@ -93,54 +121,65 @@ def xy_cut_order(
 
     Equivalent to ``xy_cut_reflow(layout, margin, horizontal_first)``
     (xy_cut_reflow.py:189-202) with max_depth=8.
+
+    Implementation note: per-page block counts are tens, so the inner
+    partition loops run on plain Python lists — NumPy's per-op overhead
+    dominates at this size (measured ~2x whole-kernel difference).
     """
     n = len(x1)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    x1 = np.asarray(x1, dtype=np.float64)
-    y1 = np.asarray(y1, dtype=np.float64)
-    x2 = np.asarray(x2, dtype=np.float64)
-    y2 = np.asarray(y2, dtype=np.float64)
+    X1 = [float(v) for v in x1]
+    Y1 = [float(v) for v in y1]
+    X2 = [float(v) for v in x2]
+    Y2 = [float(v) for v in y2]
 
-    out: list[np.ndarray] = []
+    out: list[int] = []
     first_axis = HORIZONTAL if horizontal_first else VERTICAL
     # LIFO stack of (subset_indices, axis, margin, depth); children are
     # pushed in reverse so they pop in reading order.
-    stack: list[tuple[np.ndarray, int, float, int]] = [
-        (np.arange(n, dtype=np.int64), first_axis, float(margin), 0)
-    ]
+    stack = [(list(range(n)), first_axis, float(margin), 0)]
     while stack:
         idx, axis, m, depth = stack.pop()
         if len(idx) <= 1:
-            out.append(idx)
+            out.extend(idx)
             continue
         if depth > max_depth:
-            out.append(grid_sort_indices(x1, y1, x2, y2, idx))
+            out.extend(_grid_sort_list(X1, Y1, X2, Y2, idx))
             continue
 
-        lo_all = x1 if axis == HORIZONTAL else y1
-        hi_all = x2 if axis == HORIZONTAL else y2
+        lo_all = X1 if axis == HORIZONTAL else Y1
+        hi_all = X2 if axis == HORIZONTAL else Y2
         # candidate cuts from every box of this region, in value order
-        cands = np.sort(np.concatenate([lo_all[idx] - m, hi_all[idx] + m]))
+        cands = sorted(
+            v for i in idx for v in (lo_all[i] - m, hi_all[i] + m)
+        )
         child_m = m - depth * (m / max_depth)
         next_axis = VERTICAL if axis == HORIZONTAL else HORIZONTAL
 
-        segments: list[np.ndarray] = []
+        segments: list[list[int]] = []
         rest = idx
         for cut in cands:
-            lo = lo_all[rest]
-            hi = hi_all[rest]
-            near = (lo <= cut) & (hi <= cut)
-            far = (lo >= cut) & (hi >= cut) & ~near  # first branch wins
-            if not (~(near | far)).any():  # nothing straddles
-                left = rest[near]
-                if len(left) == 0:
-                    continue
-                segments.append(left)
-                rest = rest[far]
+            near: list[int] = []
+            far: list[int] = []
+            straddle = False
+            for i in rest:
+                lo = lo_all[i]
+                hi = hi_all[i]
+                if lo <= cut and hi <= cut:  # first branch wins
+                    near.append(i)
+                elif lo >= cut and hi >= cut:
+                    far.append(i)
+                else:
+                    straddle = True
+                    break
+            if straddle or not near:
+                continue
+            segments.append(near)
+            rest = far
         segments.append(rest)
 
         for seg in reversed(segments):
             stack.append((seg, next_axis, child_m, depth + 1))
 
-    return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    return np.asarray(out, dtype=np.int64)

@@ -283,8 +283,73 @@ def corpus_rows(n_docs: int, mega_every: int = 97, prefix: str = "doc") -> List[
     rows: List[dict] = []
     for i in range(n_docs):
         doc_id = f"{prefix}-{i:08d}"
-        rows.extend(doc_rows(doc_id, mega=(mega_every > 0 and i % mega_every == 96)))
+        rows.extend(
+            doc_rows(doc_id, mega=(mega_every > 0 and i % mega_every == mega_every - 1))
+        )
     return rows
+
+
+def write_corpus_spark(
+    spark, out_dir: str, n_docs: int, mega_every: int = 97, prefix: str = "doc"
+) -> dict:
+    """Parallel corpus generation: fan doc ids out over executors and
+    write both tables as partitioned parquet.  Same bytes per doc as
+    write_corpus (generation is seeded by doc_id alone)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    blocks_schema = (
+        "doc_id string, offset int, page int, x1 double, y1 double, "
+        "x2 double, y2 double, conf double, label string, "
+        "kind string, text string, media_ref string"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                doc_id = f"{prefix}-{int(i):08d}"
+                mega = mega_every > 0 and int(i) % mega_every == mega_every - 1
+                rows.extend(doc_rows(doc_id, mega=mega))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "offset", "page", "x1", "y1", "x2", "y2",
+                    "conf", "label", "kind", "text", "media_ref",
+                ],
+            )
+
+    ids = spark.range(n_docs).repartition(max(n_docs // 500, 8))
+    flat = ids.mapInPandas(gen, schema=blocks_schema)
+    flat.cache()
+    flat.select(
+        "doc_id", "offset", "page", "x1", "y1", "x2", "y2", "conf", "label"
+    ).write.mode("overwrite").parquet(f"{out_dir}/layout_blocks.parquet")
+    (
+        flat.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ).alias("tmp")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(tmp, s -> struct(s.kind as kind, s.text as text,"
+                " s.media_ref as media_ref, cast(s.offset as int) as offset))"
+            ).alias("spans"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+    n_rows = flat.count()
+    flat.unpersist()
+    return {
+        "documents": f"{out_dir}/documents.parquet",
+        "layout_blocks": f"{out_dir}/layout_blocks.parquet",
+        "n_rows": n_rows,
+    }
 
 
 # --- parquet writers (pyarrow; no Spark dependency) ----------------------

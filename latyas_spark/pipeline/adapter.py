@@ -1,0 +1,113 @@
+"""Adapter: derive a deterministic extraction corpus from the driver's
+relational testdata (TESTDATA.md) with pure integer arithmetic.
+
+The driver smoke/correctness harness provides TPC-H-ish parquet only;
+the extraction engine needs (bbox, conf, label, text, media) rows.  We
+derive them from the ``events`` table with arithmetic that DuckDB can
+reproduce verbatim, so sub-operator queries over this corpus can be
+oracle-checked SQL-to-SQL (see relational/queries.py).
+
+Every expression below is mirrored in ``SYNTH_BLOCKS_SQL``; keep the
+two in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# raw detector labels, deliberately including from_str quirk forms
+ADAPTER_LABELS = [
+    "text", "Text", "title", "figure", "figure_caption", "table",
+    "header", "footer", "reference", "equation", "embedeq", "TOC",
+    "list", "icon", "qrcode", "textwithequation", "blob", "caption",
+]
+
+# labels whose kind is a media kind (from_str: figure/icon/qrcode)
+MEDIA_LABELS = ("figure", "icon", "qrcode")
+
+
+def synth_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet -> flat kernel-input frame (KERNEL_COLS shape)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    labels_arr = F.array(*[F.lit(s) for s in ADAPTER_LABELS])
+    df = ev.select(
+        F.concat(
+            F.lit("evdoc-"), F.lpad((F.col("user_id") % 200).cast("string"), 5, "0")
+        ).alias("doc_id"),
+        (F.col("event_id") % 3).cast("int").alias("page"),
+        F.col("event_id").alias("event_id"),
+        ((F.col("event_id") * 131) % 700).cast("double").alias("x1"),
+        ((F.col("event_id") * 197) % 900).cast("double").alias("y1"),
+        (40 + (F.col("event_id") * 17) % 260).cast("double").alias("w"),
+        (20 + (F.col("event_id") * 23) % 80).cast("double").alias("h"),
+        (((F.col("event_id") * 7) % 100) / 100.0).alias("conf"),
+        F.element_at(labels_arr, ((F.col("event_id") * 13) % 18 + 1).cast("int")).alias(
+            "label"
+        ),
+        F.col("event_type"),
+    )
+    df = df.select(
+        "doc_id",
+        "page",
+        "event_id",
+        "x1",
+        "y1",
+        (F.col("x1") + F.col("w")).alias("x2"),
+        (F.col("y1") + F.col("h")).alias("y2"),
+        "conf",
+        "label",
+        F.when(
+            F.col("label").isin(*MEDIA_LABELS), F.lit(None).cast("string")
+        )
+        .otherwise(F.concat("event_type", F.lit(" "), F.col("event_id").cast("string")))
+        .alias("text"),
+        F.when(
+            F.col("label").isin(*MEDIA_LABELS),
+            F.concat(F.lit("media://"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("media_ref"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("event_id")
+    return df.select(
+        "doc_id",
+        "page",
+        (F.row_number().over(w) - 1).cast("int").alias("offset"),
+        "x1", "y1", "x2", "y2", "conf", "label", "text", "media_ref",
+    )
+
+
+# DuckDB mirror of synth_blocks (same arithmetic, same column names).
+SYNTH_BLOCKS_SQL = """
+WITH base AS (
+  SELECT
+    'evdoc-' || lpad(CAST(user_id % 200 AS VARCHAR), 5, '0') AS doc_id,
+    CAST(event_id % 3 AS INT) AS page,
+    event_id,
+    CAST((event_id * 131) % 700 AS DOUBLE) AS x1,
+    CAST((event_id * 197) % 900 AS DOUBLE) AS y1,
+    CAST(40 + (event_id * 17) % 260 AS DOUBLE) AS w,
+    CAST(20 + (event_id * 23) % 80 AS DOUBLE) AS h,
+    ((event_id * 7) % 100) / 100.0 AS conf,
+    (['text','Text','title','figure','figure_caption','table','header',
+      'footer','reference','equation','embedeq','TOC','list','icon',
+      'qrcode','textwithequation','blob','caption'])[
+        CAST((event_id * 13) % 18 + 1 AS INT)] AS label,
+    event_type
+  FROM events
+)
+SELECT
+  doc_id, page,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY event_id) - 1 AS INT)
+    AS "offset",
+  x1, y1, x1 + w AS x2, y1 + h AS y2, conf, label,
+  CASE WHEN label IN ('figure','icon','qrcode') THEN NULL
+       ELSE event_type || ' ' || CAST(event_id AS VARCHAR) END AS text,
+  CASE WHEN label IN ('figure','icon','qrcode')
+       THEN 'media://' || CAST(event_id AS VARCHAR)
+       ELSE NULL END AS media_ref
+FROM base
+"""

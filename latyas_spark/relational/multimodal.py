@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Media (image/audio/video) travel as ``binary`` columns with a typed
+metadata struct; decode/feature stages are Arrow-batched
+``mapInPandas`` kernels.  The actual codec step is STUBBED (no
+image/audio libraries ship in this container) behind
+``register_decoder`` — the default decoder is a deterministic fake
+that derives pseudo-pixels from the bytes' md5, so the Spark-side
+plumbing (schema, batching, partitioning, UDF signature) is real and
+tested while the codec is swappable for a real one on a production
+cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_ref string, media_type string, width int, height int, "
+    "n_bytes int, payload binary"
+)
+
+FEATURE_SCHEMA = (
+    "media_ref string, media_type string, n_bytes int, "
+    "mean_intensity double, aspect double, phash string"
+)
+
+
+def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for image decode: expand the md5 of the
+    payload into a (height, width) uint8 raster.  Replace via
+    ``register_decoder`` with a real codec (PIL/opencv) in production.
+    """
+    digest = hashlib.md5(payload or b"").digest()
+    n = max(int(width) * int(height), 1)
+    reps = (n + len(digest) - 1) // len(digest)
+    raster = np.frombuffer(digest * reps, dtype=np.uint8)[:n]
+    return raster.reshape((max(int(height), 1), -1))
+
+
+_DECODER: Callable[[bytes, int, int], np.ndarray] = fake_decode
+
+
+def register_decoder(fn: Callable[[bytes, int, int], np.ndarray]) -> None:
+    """Swap in a real decoder (executors pick it up via --py-files)."""
+    global _DECODER
+    _DECODER = fn
+
+
+def synth_media(blocks: DataFrame) -> DataFrame:
+    """Derive a media table from the sidecar's media rows: payload is a
+    deterministic byte string from the ref (opaque-binary stand-in)."""
+    m = blocks.filter(F.col("media_ref").isNotNull())
+    return m.select(
+        "media_ref",
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("video/mp4")),
+            (F.abs(F.xxhash64("media_ref")) % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        ((F.abs(F.xxhash64("media_ref", F.lit(1))) % 64) + 16).cast("int").alias("width"),
+        ((F.abs(F.xxhash64("media_ref", F.lit(2))) % 64) + 16).cast("int").alias("height"),
+        F.length(F.col("media_ref")).cast("int").alias("n_bytes"),
+        F.encode(F.md5("media_ref"), "utf-8").alias("payload"),
+    )
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode + feature extraction over binary payloads.
+
+    Repartitions by a hash of media_ref so feature extraction spreads
+    evenly regardless of upstream layout (decode is the expensive step
+    at 100 TB scale, so its partitioning must not inherit skew).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means, aspects, phashes = [], [], []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                raster = _DECODER(payload, int(w), int(h))
+                means.append(float(raster.mean()))
+                aspects.append(round(float(w) / float(h), 6))
+                bits = (raster.mean(axis=0) > raster.mean()).astype(np.uint8)
+                phashes.append("".join(map(str, bits[:16])))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"].astype("int32"),
+                    "mean_intensity": pd.Series(means, dtype="float64"),
+                    "aspect": pd.Series(aspects, dtype="float64"),
+                    "phash": pd.Series(phashes, dtype=object),
+                }
+            )
+
+    shaped = media.repartition(F.pmod(F.xxhash64("media_ref"), F.lit(64)))
+    return shaped.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,852 @@
+"""Driver-contract query registry: every operator family from
+SURVEY.md §2 gets a Spark implementation and (where SQL-expressible) a
+DuckDB oracle over the same parquet tables.
+
+Cross-engine determinism rules used throughout (floats hash-compared):
+
+* money/quantity sums go through ``decimal(18,2)`` so the aggregate is
+  exact, then back to double — no summation-order dependence;
+* ratios/averages divide two exact values in double — deterministic;
+* string hashing uses md5 (identical in Spark and DuckDB);
+* every computed column is aliased identically on both sides; ranks
+  always carry a unique tiebreak column.
+
+The synthetic geometry corpus used by the extraction-analog queries is
+derived from ``events`` with integer arithmetic mirrored exactly in
+SQL (pipeline/adapter.py: synth_blocks <-> SYNTH_BLOCKS_SQL).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..pipeline.adapter import SYNTH_BLOCKS_SQL, synth_blocks
+
+# -- helpers ---------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col):
+    """Order-independent exact sum of a money-like double column."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+_TEXT_SET_SQL = (
+    "('text','title','caption','figurecaption','tablecaption',"
+    "'reference','header','footer')"
+)
+
+# CASE chain in exact from_str order (block.py:29-68), shared by the
+# Spark when-chain builder and the SQL oracle below.
+_CLASSIFY_RULES = [
+    ("text", "text"),
+    ("title", "title"),
+    # caption+figure / caption+table handled separately (two needles)
+    ("caption", "caption"),
+    ("figure", "figure"),
+    ("table", "table"),
+    ("header", "header"),
+    ("footer", "footer"),
+    ("reference", "reference"),
+    ("embedeq", "embedeq"),
+    ("equation", "equation"),
+    ("toc", "toc"),
+    ("list", "list"),
+    ("icon", "icon"),
+    ("qrcode", "qrcode"),
+    ("barcode", "barcode"),
+    ("textwithequation", "textwithequation"),
+]
+
+
+def _classify_col(label_col="label"):
+    """from_str as a when-chain over lower(label) (F6)."""
+    low = F.lower(F.col(label_col))
+    expr = F.when(low.contains("text"), "text").when(low.contains("title"), "title")
+    expr = expr.when(low.contains("caption") & low.contains("figure"), "figurecaption")
+    expr = expr.when(low.contains("caption") & low.contains("table"), "tablecaption")
+    for needle, kind in _CLASSIFY_RULES[2:]:
+        expr = expr.when(low.contains(needle), kind)
+    return expr.otherwise("unknown")
+
+
+CLASSIFY_SQL_CASE = """
+  CASE
+    WHEN contains(lower(label), 'text') THEN 'text'
+    WHEN contains(lower(label), 'title') THEN 'title'
+    WHEN contains(lower(label), 'caption') AND contains(lower(label), 'figure')
+      THEN 'figurecaption'
+    WHEN contains(lower(label), 'caption') AND contains(lower(label), 'table')
+      THEN 'tablecaption'
+    WHEN contains(lower(label), 'caption') THEN 'caption'
+    WHEN contains(lower(label), 'figure') THEN 'figure'
+    WHEN contains(lower(label), 'table') THEN 'table'
+    WHEN contains(lower(label), 'header') THEN 'header'
+    WHEN contains(lower(label), 'footer') THEN 'footer'
+    WHEN contains(lower(label), 'reference') THEN 'reference'
+    WHEN contains(lower(label), 'embedeq') THEN 'embedeq'
+    WHEN contains(lower(label), 'equation') THEN 'equation'
+    WHEN contains(lower(label), 'toc') THEN 'toc'
+    WHEN contains(lower(label), 'list') THEN 'list'
+    WHEN contains(lower(label), 'icon') THEN 'icon'
+    WHEN contains(lower(label), 'qrcode') THEN 'qrcode'
+    WHEN contains(lower(label), 'barcode') THEN 'barcode'
+    WHEN contains(lower(label), 'textwithequation') THEN 'textwithequation'
+    ELSE 'unknown'
+  END
+"""
+
+
+def _blocks_cte() -> str:
+    return f"WITH blocks AS (\n{SYNTH_BLOCKS_SQL}\n)"
+
+
+# -- A: aggregations -------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style partial+final hash agg with an exact decimal sum
+    and a pushed-down date filter (A-category; SURVEY.md §2.4)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            (_dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        )
+    )
+
+
+PRICING_SQL = """
+SELECT
+  l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  COUNT(*) AS count_order,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with broadcast dimensions (J4-analog broadcast join)."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+REVENUE_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_page_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (A1/A2: per-page text assembly,
+    tools/pdf2text.py:62 separator)."""
+    blocks = synth_blocks(spark, sf_dir).filter(F.col("text").isNotNull())
+    return blocks.groupBy("doc_id", "page").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(offset, text))), s -> s.text)"),
+            "\n\n\n",
+        ).alias("page_text"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+
+
+PAGE_ASSEMBLY_SQL = (
+    _blocks_cte()
+    + """
+SELECT doc_id, page,
+  string_agg(text, e'\\n\\n\\n' ORDER BY "offset") AS page_text,
+  COUNT(*) AS n_blocks
+FROM blocks WHERE text IS NOT NULL
+GROUP BY doc_id, page
+"""
+)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-grouping via lag + cumulative sum (A6 bbox row-grouping
+    analog; mix_inference.py:27-41)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        F.when(gap.isNull() | (gap > 600), 1).otherwise(0).alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return flagged.select(
+        "user_id", "event_id", F.sum("new_session").over(w2).alias("session_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY event_id))
+              IS NULL
+         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY event_id))
+              > 600
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, event_id,
+  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM flagged
+"""
+
+
+# -- sorts / topk ----------------------------------------------------------
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with unique tiebreak (TakeOrderedAndProject)."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+def q_grid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2-style quantized grid sort as a window rank (xy_cut_reflow.py:14-37
+    relational analog; extent-scaled integer quantization + stable tiebreak)."""
+    b = synth_blocks(spark, sf_dir)
+    wext = Window.partitionBy("doc_id", "page")
+    b = b.select(
+        "doc_id", "page", "offset", "x1", "y1", "x2", "y2",
+        (F.max("y2").over(wext) - F.min("y1").over(wext)).alias("h"),
+        (F.max("x2").over(wext) - F.min("x1").over(wext)).alias("w"),
+    )
+    sfy = F.greatest(F.floor(F.col("h") / 16), F.lit(1))
+    sfx = F.greatest(F.floor(F.col("w") / 3), F.lit(1))
+    q = b.select(
+        "doc_id", "page", "offset",
+        F.floor(F.col("x1") / sfx).alias("qx"),
+        F.floor(F.col("y1") / sfy).alias("qy"),
+        F.floor(F.col("x2") / sfx).alias("qx2"),
+        F.floor(F.col("y2") / sfy).alias("qy2"),
+    )
+    wr = Window.partitionBy("doc_id", "page").orderBy("qx", "qy", "qx2", "qy2", "offset")
+    return q.select(
+        "doc_id", "page", "offset", F.row_number().over(wr).alias("grid_rank")
+    )
+
+
+GRID_RANK_SQL = (
+    _blocks_cte()
+    + """
+, ext AS (
+  SELECT *,
+    max(y2) OVER (PARTITION BY doc_id, page) - min(y1) OVER (PARTITION BY doc_id, page) AS h,
+    max(x2) OVER (PARTITION BY doc_id, page) - min(x1) OVER (PARTITION BY doc_id, page) AS w
+  FROM blocks
+), q AS (
+  SELECT doc_id, page, "offset",
+    floor(x1 / greatest(floor(w/3), 1)) AS qx,
+    floor(y1 / greatest(floor(h/16), 1)) AS qy,
+    floor(x2 / greatest(floor(w/3), 1)) AS qx2,
+    floor(y2 / greatest(floor(h/16), 1)) AS qy2
+  FROM ext
+)
+SELECT doc_id, page, "offset",
+  row_number() OVER (PARTITION BY doc_id, page
+                     ORDER BY qx, qy, qx2, qy2, "offset") AS grid_rank
+FROM q
+"""
+)
+
+
+# -- joins -----------------------------------------------------------------
+
+
+def q_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's relational analog: theta self-join on geometry overlap
+    (layout.py:86-132 trigger condition, incl. the same-kind-or-both-
+    text gate)."""
+    b = synth_blocks(spark, sf_dir).withColumn("kind", _classify_col())
+    a = b.alias("a")
+    c = b.alias("c")
+    iw = F.least(F.col("a.x2"), F.col("c.x2")) - F.greatest(F.col("a.x1"), F.col("c.x1"))
+    ih = F.least(F.col("a.y2"), F.col("c.y2")) - F.greatest(F.col("a.y1"), F.col("c.y1"))
+    inter = F.greatest(iw, F.lit(0.0)) * F.greatest(ih, F.lit(0.0))
+    area_a = (F.col("a.x2") - F.col("a.x1")) * (F.col("a.y2") - F.col("a.y1"))
+    area_c = (F.col("c.x2") - F.col("c.x1")) * (F.col("c.y2") - F.col("c.y1"))
+    text_set = ["text", "title", "caption", "figurecaption", "tablecaption",
+                "reference", "header", "footer"]
+    kind_gate = (F.col("a.kind") == F.col("c.kind")) | (
+        F.col("a.kind").isin(text_set) & F.col("c.kind").isin(text_set)
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.doc_id") == F.col("c.doc_id"))
+            & (F.col("a.page") == F.col("c.page"))
+            & (F.col("a.offset") < F.col("c.offset")),
+        )
+        .filter(kind_gate & (inter > 0.5 * F.least(area_a, area_c)))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.page").alias("page"),
+            F.col("a.offset").alias("offset_a"),
+            F.col("c.offset").alias("offset_b"),
+        )
+    )
+
+
+OVERLAP_PAIRS_SQL = (
+    _blocks_cte()
+    + f"""
+, k AS (SELECT *, {CLASSIFY_SQL_CASE} AS kind FROM blocks)
+SELECT a.doc_id AS doc_id, a.page AS page,
+       a."offset" AS offset_a, c."offset" AS offset_b
+FROM k a JOIN k c
+  ON a.doc_id = c.doc_id AND a.page = c.page AND a."offset" < c."offset"
+WHERE (a.kind = c.kind OR (a.kind IN {_TEXT_SET_SQL} AND c.kind IN {_TEXT_SET_SQL}))
+  AND greatest(least(a.x2, c.x2) - greatest(a.x1, c.x1), 0)
+      * greatest(least(a.y2, c.y2) - greatest(a.y1, c.y1), 0)
+      > 0.5 * least((a.x2-a.x1)*(a.y2-a.y1), (c.x2-c.x1)*(c.y2-c.y1))
+"""
+)
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: embedded-equation containment semi-join with margin 20
+    (base_pipeline.py:127-152, shape.py:121-127)."""
+    b = synth_blocks(spark, sf_dir).withColumn("kind", _classify_col())
+    text_set = ["text", "title", "caption", "figurecaption", "tablecaption",
+                "reference", "header", "footer"]
+    t = b.filter(F.col("kind").isin(text_set)).alias("t")
+    e = b.filter(F.col("kind") == "embedeq").alias("e")
+    m = 20.0
+    return (
+        t.join(
+            e,
+            (F.col("t.doc_id") == F.col("e.doc_id"))
+            & (F.col("t.page") == F.col("e.page"))
+            & (F.col("e.x1") >= F.col("t.x1") - m)
+            & (F.col("e.y1") >= F.col("t.y1") - m)
+            & (F.col("e.x2") <= F.col("t.x2") + m)
+            & (F.col("e.y2") <= F.col("t.y2") + m),
+        )
+        .select(
+            F.col("t.doc_id").alias("doc_id"),
+            F.col("t.page").alias("page"),
+            F.col("t.offset").alias("text_offset"),
+            F.col("e.offset").alias("eq_offset"),
+        )
+    )
+
+
+CONTAINMENT_SQL = (
+    _blocks_cte()
+    + f"""
+, k AS (SELECT *, {CLASSIFY_SQL_CASE} AS kind FROM blocks)
+SELECT t.doc_id AS doc_id, t.page AS page,
+       t."offset" AS text_offset, e."offset" AS eq_offset
+FROM k t JOIN k e
+  ON t.doc_id = e.doc_id AND t.page = e.page
+WHERE t.kind IN {_TEXT_SET_SQL} AND e.kind = 'embedeq'
+  AND e.x1 >= t.x1 - 20 AND e.y1 >= t.y1 - 20
+  AND e.x2 <= t.x2 + 20 AND e.y2 <= t.y2 + 20
+"""
+)
+
+
+def q_ship_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2-analog range join: same-order lineitem pairs whose 30-day
+    ship windows overlap (equi key + interval theta)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.unix_timestamp("l_shipdate").alias("ship_s")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+            & (F.abs(F.col("a.ship_s") - F.col("b.ship_s")) <= 30 * 86400),
+        )
+        .groupBy(F.col("a.l_orderkey").alias("l_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_overlapping_pairs"))
+    )
+
+
+SHIP_WINDOW_SQL = """
+SELECT a.l_orderkey AS l_orderkey, COUNT(*) AS n_overlapping_pairs
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+WHERE abs(epoch(a.l_shipdate) - epoch(b.l_shipdate)) <= 30 * 86400
+GROUP BY a.l_orderkey
+"""
+
+
+# -- projections / filters -------------------------------------------------
+
+
+def q_classify_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: ordered-substring label classification, aggregated."""
+    return (
+        synth_blocks(spark, sf_dir)
+        .withColumn("kind", _classify_col())
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+    )
+
+
+CLASSIFY_COUNTS_SQL = (
+    _blocks_cte()
+    + f"SELECT {CLASSIFY_SQL_CASE} AS kind, COUNT(*) AS n_blocks FROM blocks GROUP BY 1"
+)
+
+
+def q_confidence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: detection confidence threshold (>0.3), projected counts
+    per page — the filter is pushed to the parquet scan."""
+    b = synth_blocks(spark, sf_dir)
+    return (
+        b.filter(F.col("conf") > 0.3)
+        .groupBy("doc_id", "page")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+CONFIDENCE_SQL = (
+    _blocks_cte()
+    + """
+SELECT doc_id, page, COUNT(*) AS n_kept FROM blocks
+WHERE conf > 0.3 GROUP BY doc_id, page
+"""
+)
+
+
+def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-span projection: per-doc media inventory (interleaved
+    media columns as opaque refs with typed metadata)."""
+    b = synth_blocks(spark, sf_dir)
+    return (
+        b.filter(F.col("media_ref").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.min("media_ref").alias("first_ref"),
+        )
+    )
+
+
+MEDIA_MANIFEST_SQL = (
+    _blocks_cte()
+    + """
+SELECT doc_id, COUNT(*) AS n_media, min(media_ref) AS first_ref
+FROM blocks WHERE media_ref IS NOT NULL GROUP BY doc_id
+"""
+)
+
+
+# -- set ops ---------------------------------------------------------------
+
+
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2: union of two overlapping selections, then distinct
+    (multi-detector merge analog, layout.py:67-68 + :130-132)."""
+    part = _read(spark, sf_dir, "part")
+    a = part.filter(F.col("p_size") <= 25).select("p_partkey", "p_brand")
+    b = part.filter(F.col("p_size") >= 15).select("p_partkey", "p_brand")
+    return (
+        a.union(b)
+        .distinct()
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+UNION_DEDUP_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts FROM (
+  SELECT p_partkey, p_brand FROM part WHERE p_size <= 25
+  UNION
+  SELECT p_partkey, p_brand FROM part WHERE p_size >= 15
+) GROUP BY p_brand
+"""
+
+
+# -- scalar functions ------------------------------------------------------
+
+
+def q_levenshtein_arbitration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C2: dual-source text arbitration — prefer the 'native' string
+    when the relative edit distance is < 0.2 (pdf2txt.py:78-85)."""
+    docs = _read(spark, sf_dir, "documents")
+    native = F.substring("text", 1, 40)
+    ocr = F.regexp_replace(F.substring("text", 1, 40), "a", "e")
+    dis = F.levenshtein(native, ocr)
+    rel = dis / F.greatest(F.length(native), F.length(ocr))
+    return docs.select(
+        "doc_id",
+        dis.alias("edit_dist"),
+        F.when(rel < 0.2, F.lit("native")).otherwise(F.lit("ocr")).alias("pick"),
+    )
+
+
+LEVENSHTEIN_SQL = """
+SELECT doc_id,
+  levenshtein(substr(text,1,40), replace(substr(text,1,40), 'a', 'e')) AS edit_dist,
+  CASE WHEN levenshtein(substr(text,1,40), replace(substr(text,1,40), 'a', 'e'))
+            * 1.0
+            / greatest(length(substr(text,1,40)),
+                       length(replace(substr(text,1,40), 'a', 'e'))) < 0.2
+       THEN 'native' ELSE 'ocr' END AS pick
+FROM documents
+"""
+
+
+# -- dedup family (training-data ops) --------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: canonical doc per fingerprint."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fp, COUNT(*) AS n_dups, min(doc_id) AS canonical_doc
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 8 bands x 1 md5 minhash over
+    word shingles; pairs sharing >= 2 bands."""
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.substring("text", 1, 200), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    hashes = spark.range(8).select(F.col("id").cast("int").alias("i"))
+    minh = (
+        words.crossJoin(F.broadcast(hashes))
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), "word")).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+    # band b = hashes 2b and 2b+1 concatenated (4 bands x 2 rows)
+    sig = (
+        minh.withColumn("band", F.floor(F.col("i") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "",
+                F.min(F.when(F.col("i") % 2 == 0, F.col("mh"))),
+                F.min(F.when(F.col("i") % 2 == 1, F.col("mh"))),
+            ).alias("sig")
+        )
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+        .filter(F.col("shared_bands") >= 2)
+    )
+
+
+MINHASH_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(substr(text,1,200), ' ')) AS word
+  FROM documents
+), minh AS (
+  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || word)) AS mh
+  FROM words, range(8) r(i)
+  WHERE word <> ''
+  GROUP BY doc_id, i
+), sig AS (
+  SELECT doc_id, CAST(i // 2 AS INT) AS band,
+    min(CASE WHEN i % 2 = 0 THEN mh END)
+      || min(CASE WHEN i % 2 = 1 THEN mh END) AS sig
+  FROM minh GROUP BY doc_id, CAST(i // 2 AS INT)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+FROM sig a JOIN sig b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-style 16-bit signature from per-word md5 bit votes,
+    bucketed; deterministic cross-engine via md5-hex nibble parsing."""
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.substring("text", 1, 200), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    # per word: 16 bits from the first 4 hex chars of md5
+    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        words.crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "bit",
+            F.when(
+                F.expr(
+                    "(cast(conv(substring(md5(word), 1, 4), 16, 10) as bigint)"
+                    " & shiftleft(cast(1 as bigint), bit)) > 0"
+                ),
+                1,
+            )
+            .otherwise(-1)
+            .alias("vote"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    sig = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0,
+                F.expr("shiftleft(cast(1 as bigint), bit)"),
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+    return sig.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc")
+    )
+
+
+SIMHASH_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(substr(text,1,200), ' ')) AS word
+  FROM documents
+), votes AS (
+  SELECT doc_id, bit,
+    CAST(SUM(CASE WHEN (CAST(('0x' || substr(md5(word),1,4)) AS INT)
+                        & (1 << CAST(bit AS INT))) > 0
+                  THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM words, range(16) r(bit)
+  WHERE word <> ''
+  GROUP BY doc_id, bit
+), sig AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN v > 0 THEN (1 << CAST(bit AS INT)) ELSE 0 END) AS BIGINT)
+      AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT simhash, COUNT(*) AS n_docs, min(doc_id) AS canonical_doc
+FROM sig GROUP BY simhash
+"""
+
+
+# -- similarity search -----------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a fixed query vector (vec_id 0),
+    all math in double with a sequential fold (deterministic)."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
+    )
+    nv = F.expr("aggregate(v, cast(0 as double), (s, x) -> s + x * x)")
+    nq = F.expr("aggregate(qv, cast(0 as double), (s, x) -> s + x * x)")
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", F.round(dot / (F.sqrt(nv) * F.sqrt(nq)), 3).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+COSINE_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    round(
+      list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+         * sqrt(list_sum(list_transform(q.qv, x -> x*x)))), 3) AS cos_sim
+  FROM e, q WHERE vec_id <> 0
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+# -- text analysis ---------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality features (whitespace tokenizer)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), " +"))
+    return docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.length("text").alias("n_chars_obs"),
+        F.round(F.length("text") / toks, 4).alias("chars_per_token"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+  len(string_split_regex(trim(text), ' +')) AS n_tokens,
+  length(text) AS n_chars_obs,
+  round(length(text) * 1.0 / len(string_split_regex(trim(text), ' +')), 4)
+    AS chars_per_token
+FROM documents
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (charset + stopword) vs the label column."""
+    docs = _read(spark, sf_dir, "documents")
+    pred = (
+        F.when(F.col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when(
+            F.col("text").rlike("(^| )(the|and|of|a)( |$)"), "en"
+        )
+        .otherwise("other")
+    )
+    return docs.groupBy("lang", pred.alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+LANGID_SQL = """
+SELECT lang,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN regexp_matches(text, '(^| )(the|and|of|a)( |$)') THEN 'en'
+       ELSE 'other' END AS pred_lang,
+  COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized document fingerprint (lower + space collapse + md5)."""
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# -- flagship extraction (not SQL-expressible: rows-only check) ------------
+
+
+def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction DAG over the events-derived corpus: classify ->
+    overlap merge -> containment/texmix -> gather -> xy-cut -> emit.
+    Data-dependent recursion (xy-cut) is not ANSI-SQL-expressible; the
+    driver records a rows-only check, and byte-exact correctness is
+    covered by the golden suite (tests/test_pipeline_spark.py)."""
+    from ..pipeline.extract import extract_spans_flat
+
+    return extract_spans_flat(synth_blocks(spark, sf_dir))
+
+
+# -- registry --------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    "pricing_summary": (q_pricing_summary, PRICING_SQL),
+    "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
+    "topk_orders": (q_topk_orders, TOPK_SQL),
+    "page_assembly": (q_page_assembly, PAGE_ASSEMBLY_SQL),
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),
+    "grid_rank": (q_grid_rank, GRID_RANK_SQL),
+    "overlap_pairs": (q_overlap_pairs, OVERLAP_PAIRS_SQL),
+    "containment_pairs": (q_containment_pairs, CONTAINMENT_SQL),
+    "ship_window_pairs": (q_ship_window_pairs, SHIP_WINDOW_SQL),
+    "classify_counts": (q_classify_counts, CLASSIFY_COUNTS_SQL),
+    "confidence_filter": (q_confidence_filter, CONFIDENCE_SQL),
+    "media_manifest": (q_media_manifest, MEDIA_MANIFEST_SQL),
+    "union_dedup": (q_union_dedup, UNION_DEDUP_SQL),
+    "levenshtein_arbitration": (q_levenshtein_arbitration, LEVENSHTEIN_SQL),
+    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "minhash_pairs": (q_minhash_pairs, MINHASH_SQL),
+    "simhash_buckets": (q_simhash_buckets, SIMHASH_SQL),
+    "cosine_topk": (q_cosine_topk, COSINE_SQL),
+    "token_stats": (q_token_stats, TOKEN_STATS_SQL),
+    "langid": (q_langid, LANGID_SQL),
+    "fingerprint": (q_fingerprint, FINGERPRINT_SQL),
+    "flagship_extract": (q_flagship_extract, None),
+}
+
+
+def queries() -> dict[str, Callable]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,52 @@
+"""Fast relational-contract spot checks vs DuckDB at sf0.001.
+
+The full 22-query contract is exercised by scripts/check_contract.py
+(and by the driver at sf0.01); here we pin a representative subset so
+`pytest -x -q` catches oracle drift early.
+"""
+
+import pandas as pd
+import pytest
+
+from latyas_spark.relational import registry as R
+
+SUBSET = [
+    "classify_counts",
+    "containment_pairs",
+    "dedup_exact",
+    "token_stats",
+    "sessionize",
+    "grid_rank",
+    "cosine_topk",
+]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(9).astype(float)
+        else:
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(name, spark, sf001_dir, sf001_duck):
+    fn, sql = R._REGISTRY[name]
+    got = _normalize(fn(spark, sf001_dir).toPandas())
+    want = _normalize(sf001_duck.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_every_query_has_callable_and_alignment():
+    qs = R.queries()
+    sqls = R.oracle_sql()
+    assert set(sqls) <= set(qs)
+    # every non-oracle query is documented as rows-only
+    rows_only = set(qs) - set(sqls)
+    assert rows_only == {"flagship_extract"}
