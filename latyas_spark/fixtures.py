@@ -270,7 +270,10 @@ def build_page(rng: np.random.RandomState, doc_id: str, page: int) -> List[dict]
 def doc_rows(doc_id: str, mega: bool = False) -> List[dict]:
     """All span/sidecar rows of one document, offsets assigned doc-wide."""
     rng = np.random.RandomState(doc_seed(doc_id))
-    n_pages = int(rng.randint(24, 40)) if mega else int(rng.randint(1, 4))
+    # mega docs must actually cross pipeline.extract.MEGA_THRESHOLD
+    # (5000 spans) so the page-salted skew path is exercised for real:
+    # ~11 spans/page * 480-700 pages = ~5300-7700 spans.
+    n_pages = int(rng.randint(480, 700)) if mega else int(rng.randint(1, 4))
     rows: List[dict] = []
     for page in range(n_pages):
         rows.extend(build_page(rng, doc_id, page))

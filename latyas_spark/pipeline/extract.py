@@ -2,13 +2,15 @@
 
 Plan shape (SURVEY.md §3 lifecycle mapping):
 
-    documents (nested spans)            layout_blocks (sidecar)
-        |  posexplode                        |
-        +----------- equi-join on (doc_id, offset) ------------+
+    documents (nested spans)   layout_blocks (sidecar)
+        |  posexplode               |
+     repartition(P, doc_id)     repartition(P, doc_id)
+        +--- shuffled-hash equi-join on (doc_id, offset) ---+
+            (co-partitioned: the join adds NO exchange and
+             its output stays doc_id-clustered)
                                 |
-            repartition(hash(doc_id)) + sortWithinPartitions
-                                |
-               mapInPandas(partition-buffered page kernel)
+          mapInPandas(whole-partition kernel: pandas lexsort by
+          (doc_id, page, offset), then per-doc page extraction)
                                 |
                        span rows / nested docs out
 
@@ -17,11 +19,17 @@ Scale design (SURVEY.md §4.3):
 * **Batched kernels, not per-group calls.**  groupBy().applyInPandas
   invokes Python once per group; page groups are tiny (tens of rows),
   so per-group overhead would dominate at any scale.  Instead we
-  repartition by hash(doc_id), sort within partitions by
-  (doc_id, page, offset), and run ``mapInPandas`` with a carry buffer
-  that keeps the trailing (possibly batch-split) document for the next
-  Arrow batch — one Python invocation per ~10k-row batch, contiguous
-  groups split off with searchsorted.
+  repartition by hash(doc_id) and run ``mapInPandas`` over the whole
+  task partition: one python invocation per partition, per-doc groups
+  split off vectorized with flatnonzero on the sorted doc_id column.
+* **Keep the JVM out of the hot path.**  Both join inputs are
+  repartitioned by doc_id so the join itself needs no exchange
+  (requires spark.sql.requireAllClusterKeysForCoPartition=false, set
+  by build_session), the join is hash- not sort-merge- based, and the
+  kernel sort happens vectorized in pandas — the JVM side of the
+  kernel stage does shuffle IO and Arrow encoding only.  Measured at
+  5.3M rows this removed ~230 JVM-CPU-seconds of wide-row sorting
+  that serialized against the python workers inside one stage.
 * **Two-path skew routing.**  A mega-document (>= ``mega_threshold``
   spans) would serialize a whole partition in the doc-grouped path, so
   docs are routed by span count: normal docs take the single-shuffle
@@ -38,7 +46,7 @@ Scale design (SURVEY.md §4.3):
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -120,35 +128,39 @@ def _run_pages(cols: _Cols, s: int, e: int, cfg: ExtractConfig):
         yield int(cols.page[ps]), spans
 
 
-def _buffered_doc_batches(
-    batches: Iterator[pd.DataFrame],
+def _sorted_partition_chunks(
+    batches: Iterator[pd.DataFrame], sort_cols: list
 ) -> Iterator[pd.DataFrame]:
-    """Re-chunk an iterator of sorted Arrow batches so that every
-    yielded chunk contains only whole documents (the trailing doc of
-    each batch is carried into the next)."""
-    buf: Optional[pd.DataFrame] = None
-    for pdf in batches:
-        if buf is not None and len(buf):
-            pdf = pd.concat([buf, pdf], ignore_index=True)
-            buf = None
-        if not len(pdf):
-            continue
-        ids = pdf["doc_id"].to_numpy()
-        cut = int(np.searchsorted(ids, ids[-1], side="left"))
-        if cut == 0:
-            buf = pdf  # the whole batch is one (mega) doc; keep carrying
-            continue
-        buf = pdf.iloc[cut:]
-        yield pdf.iloc[:cut]
-    if buf is not None and len(buf):
-        yield buf
+    """Buffer the WHOLE task partition, sort it vectorized in pandas,
+    and yield it as one doc-contiguous chunk.
+
+    Sorting here instead of a JVM SortExec keeps the heavy lifting in
+    the (independently parallel) Python workers: with sort-merge join
+    upstream the JVM burned ~231 CPU-seconds on three wide-row sorts
+    at 5.3M rows, serialized against the Python kernel inside one
+    stage.  A whole-partition pandas lexsort of the same data costs
+    <2s total.  Memory: the kernel-stage partition count is chosen so
+    a partition fits comfortably in a worker (SURVEY.md §4.3); mega
+    docs are page-salted before this point, so no partition is
+    dominated by one document.
+    """
+    parts = [pdf for pdf in batches if len(pdf)]
+    if not parts:
+        return
+    pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+    order = np.lexsort([pdf[c].to_numpy() for c in reversed(sort_cols)])
+    if not np.array_equal(order, np.arange(len(order))):
+        pdf = pdf.iloc[order].reset_index(drop=True)
+    yield pdf
 
 
 def _doc_mode_kernel(cfg: ExtractConfig):
     """mapInPandas fn: whole docs per chunk, doc-wide order in-kernel."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for chunk in _buffered_doc_batches(batches):
+        for chunk in _sorted_partition_chunks(
+            batches, ["doc_id", "page", "offset"]
+        ):
             cols = _Cols(chunk)
             out_doc, out_order, out_kind, out_text, out_media = [], [], [], [], []
             ids = cols.doc_id
@@ -184,7 +196,9 @@ def _page_mode_kernel(cfg: ExtractConfig):
     """mapInPandas fn for the mega-doc path: emits page-local order."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for chunk in _buffered_doc_batches(batches):
+        for chunk in _sorted_partition_chunks(
+            batches, ["doc_id", "page", "offset"]
+        ):
             cols = _Cols(chunk)
             out = {k: [] for k in
                    ("doc_id", "page", "page_pos", "kind", "text", "media_ref")}
@@ -231,28 +245,36 @@ def _kernel_partitions(df: DataFrame) -> int:
 
     An explicit count keeps AQE from coalescing the exchange toward its
     64MB advisory size — the kernel is CPU-bound per row, not
-    byte-bound, so byte-based coalescing would idle most cores."""
+    byte-bound, so byte-based coalescing would idle most cores.  4x the
+    core count smooths stragglers (per-doc work varies by page count),
+    trading a little Arrow-batch overhead for even task waves."""
     spark = df.sparkSession
-    return int(
+    base = int(
         spark.conf.get(
             "spark.sql.shuffle.partitions",
             str(spark.sparkContext.defaultParallelism * 2),
         )
     )
+    return max(base, spark.sparkContext.defaultParallelism * 4)
 
 
-def _extract_doc_path(pruned: DataFrame, cfg: ExtractConfig) -> DataFrame:
-    shaped = pruned.repartition(
-        _kernel_partitions(pruned), "doc_id"
-    ).sortWithinPartitions("doc_id", "page", "offset")
+def _extract_doc_path(
+    pruned: DataFrame, cfg: ExtractConfig, pre_partitioned: bool = False
+) -> DataFrame:
+    """Doc-grouped kernel.  ``pre_partitioned=True`` promises the input
+    is already hash(doc_id)-clustered (e.g. the output of a join whose
+    children were repartitioned by doc_id), so only a partition-local
+    sort is needed — no exchange."""
+    if pre_partitioned:
+        shaped = pruned
+    else:
+        shaped = pruned.repartition(_kernel_partitions(pruned), "doc_id")
     return shaped.mapInPandas(_doc_mode_kernel(cfg), schema=DOC_OUT_SCHEMA)
 
 
 def _extract_page_path(pruned: DataFrame, cfg: ExtractConfig) -> DataFrame:
     # salt = page: mega docs spread across partitions by (doc_id, page)
-    shaped = pruned.repartition(
-        _kernel_partitions(pruned), "doc_id", "page"
-    ).sortWithinPartitions("doc_id", "page", "offset")
+    shaped = pruned.repartition(_kernel_partitions(pruned), "doc_id", "page")
     pages = shaped.mapInPandas(_page_mode_kernel(cfg), schema=PAGE_OUT_SCHEMA)
     w = Window.partitionBy("doc_id").orderBy("page", "page_pos")
     return pages.select(
@@ -269,6 +291,7 @@ def extract_spans_flat(
     cfg: ExtractConfig = DEFAULT_CONFIG,
     mega_threshold: int = MEGA_THRESHOLD,
     mega_ids: Optional[Sequence[str]] = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Extraction over an already-joined flat frame with KERNEL_COLS.
 
@@ -278,10 +301,12 @@ def extract_spans_flat(
     ``size(spans)``), else they are found with a count aggregation.
     Set ``mega_threshold=0`` to disable routing (all docs page path)
     or ``mega_threshold<0`` to force the doc path.
+    ``pre_partitioned`` promises the frame is hash(doc_id)-clustered
+    already, letting the normal-doc kernel skip its exchange.
     """
     pruned = joined.select(*KERNEL_COLS)
     if mega_threshold < 0:
-        return _extract_doc_path(pruned, cfg)
+        return _extract_doc_path(pruned, cfg, pre_partitioned)
     if mega_threshold == 0:
         return _extract_page_path(pruned, cfg)
 
@@ -292,11 +317,11 @@ def extract_spans_flat(
             .select("doc_id").collect()
         ]
     if not mega_ids:
-        return _extract_doc_path(pruned, cfg)
+        return _extract_doc_path(pruned, cfg, pre_partitioned)
 
     normal = pruned.filter(~F.col("doc_id").isin(list(mega_ids)))
     mega = pruned.filter(F.col("doc_id").isin(list(mega_ids)))
-    return _extract_doc_path(normal, cfg).unionByName(
+    return _extract_doc_path(normal, cfg, pre_partitioned).unionByName(
         _extract_page_path(mega, cfg)
     )
 
@@ -310,15 +335,25 @@ def extract_spans(
     """Flagship: nested documents + geometry sidecar -> ordered spans.
 
     Mega docs are detected for free from ``size(spans)`` on the nested
-    side (no extra shuffle).  The (doc_id, offset) equi-join shuffles
-    both sides on the same key; at warehouse scale both tables are
-    bucketed by doc_id so this is a co-located join.
+    side — a column, not a separate count job, so routing adds zero
+    extra Spark jobs and no driver round-trip.  The (doc_id, offset)
+    equi-join shuffles both sides on the same key; at warehouse scale
+    both tables are bucketed by doc_id so this is a co-located join.
+
+    Routing uses a driver-collected mega id list deliberately: the
+    resulting ``doc_id IN (...)`` predicates are pushed by Catalyst
+    through the join into BOTH parquet scans (InSet, O(1) probe), so
+    each union branch scans and joins only its own documents.  A
+    derived-column flag (``size(spans) >= T``) cannot be pushed below
+    the join and was measured ~3x slower at 240k docs.  Mega docs are
+    rare by definition (skew tail), so the collected list stays tiny.
     """
-    mega_ids: Optional[List[str]] = None
+    mega_ids: Optional[list] = None
     if mega_threshold > 0:
-        # span count from the flat sidecar: map-side-combined count over
-        # a single string column — far cheaper than size(spans) on the
-        # nested table, which would re-read the whole spans column
+        # span count per doc from the flat sidecar: scans only the
+        # doc_id column, map-side-combines, shuffles tiny partial
+        # counts — far cheaper than size(spans), which would read the
+        # whole nested spans column.
         counts = layout_blocks.groupBy("doc_id").count()
         mega_ids = [
             r["doc_id"]
@@ -326,10 +361,36 @@ def extract_spans(
             .select("doc_id")
             .collect()
         ]
+    # Pre-partition BOTH join inputs by doc_id: HashPartitioning(doc_id)
+    # satisfies the join's ClusteredDistribution(doc_id, offset), so the
+    # join adds no exchange of its own AND its output stays clustered by
+    # doc_id — the kernel then needs only a partition-local sort.  One
+    # shuffle of each input instead of three of the joined width.  At
+    # warehouse scale the same effect comes from bucketing both tables
+    # by doc_id (storage-partitioned join); this is the unbucketed
+    # equivalent.
+    # The doc_id-subset co-partitioning only holds when the session
+    # allows subset cluster keys; otherwise EnsureRequirements silently
+    # re-shuffles on (doc_id, offset) and the output would NOT be
+    # doc-clustered — fall back to an explicit kernel repartition then.
+    spark = documents.sparkSession
+    subset_ok = (
+        spark.conf.get(
+            "spark.sql.requireAllClusterKeysForCoPartition", "true"
+        ).lower()
+        == "false"
+    )
     spans = explode_documents(documents)
-    joined = spans.join(layout_blocks, ["doc_id", "offset"])
+    P = _kernel_partitions(spans)
+    joined = spans.repartition(P, "doc_id").join(
+        layout_blocks.repartition(P, "doc_id"), ["doc_id", "offset"]
+    )
     return extract_spans_flat(
-        joined, cfg, mega_threshold=mega_threshold, mega_ids=mega_ids
+        joined,
+        cfg,
+        mega_threshold=mega_threshold,
+        mega_ids=mega_ids,
+        pre_partitioned=subset_ok,
     )
 
 

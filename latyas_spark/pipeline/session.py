@@ -35,9 +35,24 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Let HashPartitioning(doc_id) satisfy a join's clustered
+        # distribution on (doc_id, offset): both extract_spans inputs
+        # are repartitioned by doc_id once, the join adds no exchange,
+        # and its output stays doc-clustered for the kernel (skew on
+        # doc_id alone is handled by our own mega-doc routing).
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # Shuffled-hash join over sort-merge: the extract join's output
+        # feeds a pandas kernel that sorts in-kernel anyway, so SMJ's
+        # three wide-row JVM sorts (both children + the kernel's) are
+        # pure overhead — measured 231 JVM-CPU-seconds at 5.3M rows.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # Local-mode shuffle files go to tmpfs: removes disk-writeback
+        # stalls from the measurement.  On a real cluster this maps to
+        # executor-local NVMe (spark.local.dir is a cluster setting).
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

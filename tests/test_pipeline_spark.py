@@ -103,3 +103,28 @@ def test_page_path_equals_doc_path(spark, corpus_dir):
 
     assert collect(-1) == collect(0)  # all-doc path == all-page path
     assert collect(-1) == collect(40)  # mixed routing == doc path
+
+
+def test_join_reuses_doc_id_copartitioning(spark, corpus_dir):
+    """The flagship join must add NO exchange of its own: both inputs
+    are repartitioned by doc_id and HashPartitioning(doc_id) satisfies
+    the join's clustering (requireAllClusterKeysForCoPartition=false).
+    Exactly two exchanges, both on doc_id alone — a third (or any
+    hashpartitioning carrying `offset`) means the kernel input lost
+    doc-clustering and per-doc ordering would silently break."""
+    import re
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    blocks = spark.read.parquet(f"{corpus_dir}/layout_blocks.parquet")
+    plan = (
+        extract_spans(docs, blocks, mega_threshold=-1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert len(parts) == 2, plan
+    for p in parts:
+        assert "offset" not in p, plan
+        assert "doc_id" in p, plan
+    assert "SortMergeJoin" not in plan, plan
