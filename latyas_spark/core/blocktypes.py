@@ -91,13 +91,26 @@ _MATCH_TABLE: list[tuple[tuple[str, ...], int]] = [
 ]
 
 
+_KIND_CACHE: dict = {}
+
+
 def kind_from_label(label: str) -> int:
-    """Ordered-substring label parse (block.py:29-68 semantics)."""
+    """Ordered-substring label parse (block.py:29-68 semantics).
+
+    Memoized: real corpora draw labels from a small model vocabulary,
+    so the substring chain runs once per distinct label per worker."""
+    cached = _KIND_CACHE.get(label)
+    if cached is not None:
+        return cached
     low = label.lower()
-    for needles, code in _MATCH_TABLE:
+    code = UNKNOWN
+    for needles, c in _MATCH_TABLE:
         if all(n in low for n in needles):
-            return code
-    return UNKNOWN
+            code = c
+            break
+    if len(_KIND_CACHE) < 65536:
+        _KIND_CACHE[label] = code
+    return code
 
 
 def kinds_from_labels(labels) -> np.ndarray:

@@ -97,6 +97,46 @@ def gather_text(
     return "".join(layer_texts[i].replace("\n", "") for i in hits)
 
 
+def gather_text_batch(
+    qx1: np.ndarray,
+    qy1: np.ndarray,
+    qx2: np.ndarray,
+    qy2: np.ndarray,
+    layer_rects: np.ndarray,
+    layer_areas: np.ndarray,
+    layer_texts: Sequence[str],
+    ratio: float,
+) -> List[str]:
+    """Vectorized ``gather_text`` for B query rects at once: one
+    (B x L) intersection matrix instead of B separate numpy dispatch
+    chains.  Bit-identical to calling gather_text per rect (same clamp,
+    zero-area guard, layer-order join)."""
+    B = len(qx1)
+    if B == 0:
+        return []
+    if len(layer_texts) == 0:
+        return [""] * B
+    qx1 = np.asarray(qx1, dtype=np.float64)
+    qy1 = np.asarray(qy1, dtype=np.float64)
+    qx2 = np.where(qx1 >= qx2, qx1, qx2)  # shape.py:74-77 clamp
+    qy2 = np.where(qy1 >= qy2, qy1, qy2)
+    rect_area = (qx2 - qx1) * (qy2 - qy1)
+    iw = np.minimum(layer_rects[None, :, 2], qx2[:, None]) - np.maximum(
+        layer_rects[None, :, 0], qx1[:, None]
+    )
+    ih = np.minimum(layer_rects[None, :, 3], qy2[:, None]) - np.maximum(
+        layer_rects[None, :, 1], qy1[:, None]
+    )
+    inter = np.where(iw > 0, iw, 0.0) * np.where(ih > 0, ih, 0.0)
+    denom = np.minimum(layer_areas[None, :], rect_area[:, None])
+    hits = (inter > ratio * denom) & (denom > 0)
+    out = []
+    for b in range(B):
+        idx = np.nonzero(hits[b])[0]
+        out.append("".join(layer_texts[i].replace("\n", "") for i in idx))
+    return out
+
+
 def extract_page(
     x1: np.ndarray,
     y1: np.ndarray,
@@ -210,11 +250,14 @@ def extract_page(
         if bkinds[b] == bt.TABLE:
             block_text[b] = texts[src[b]]
 
-    # stage 7: text OCR via gather
-    for b in range(m):
-        if not text_mask[b] or has_eq[b]:
-            continue
-        text = recognize((bx1[b], by1[b], bx2[b], by2[b]))
+    # stage 7: text OCR via gather — all plain text blocks of the page
+    # in one vectorized intersection matrix
+    plain = [b for b in range(m) if text_mask[b] and not has_eq[b]]
+    gathered = gather_text_batch(
+        bx1[plain], by1[plain], bx2[plain], by2[plain],
+        layer_rects, layer_areas, layer_texts, cfg.gather_ratio,
+    )
+    for b, text in zip(plain, gathered):
         if cfg.cjk_filters:
             # pdf2txt.py:86-89: drop CJK cross-reference snippets
             if text.startswith("图") or text.startswith("表"):

@@ -562,35 +562,37 @@ FROM documents GROUP BY md5(text)
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 8 bands x 1 md5 minhash over
-    word shingles; pairs sharing >= 2 bands."""
+    """MinHash+LSH near-dup candidates over word shingles.
+
+    Scale shape: ONE md5 per word (not per word x hash), the 8 minhash
+    lanes are xor-seeded variants of that 60-bit digest aggregated as 8
+    columns in a single map-side-combinable groupBy — the shuffle
+    carries one 8-column row per doc, not |words| x 8 rows.  Bands are
+    pairs of lanes; candidate pairs share >= 2 of 4 bands (classic
+    banding: Leskovec et al., Mining of Massive Datasets ch.3)."""
     docs = _read(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.substring("text", 1, 200), " ")).alias("word"),
     ).filter(F.col("word") != "")
-    hashes = spark.range(8).select(F.col("id").cast("int").alias("i"))
-    minh = (
-        words.crossJoin(F.broadcast(hashes))
-        .select(
-            "doc_id",
-            "i",
-            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), "word")).alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
+    hashed = words.select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint)"
+        ).alias("wh"),
     )
-    # band b = hashes 2b and 2b+1 concatenated (4 bands x 2 rows)
-    sig = (
-        minh.withColumn("band", F.floor(F.col("i") / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "",
-                F.min(F.when(F.col("i") % 2 == 0, F.col("mh"))),
-                F.min(F.when(F.col("i") % 2 == 1, F.col("mh"))),
-            ).alias("sig")
-        )
+    lanes = [
+        F.min(F.expr(f"wh ^ {seed}")).alias(f"m{i}")
+        for i, seed in enumerate(MINHASH_SEEDS)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*lanes)
+    sig = wide.select(
+        "doc_id",
+        F.expr(
+            "stack(4, 0, concat(m0, ':', m1), 1, concat(m2, ':', m3),"
+            " 2, concat(m4, ':', m5), 3, concat(m6, ':', m7))"
+            " as (band, sig)"
+        ),
     )
     a = sig.alias("a")
     b = sig.alias("b")
@@ -609,20 +611,43 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MINHASH_SQL = """
+# 8 fixed 60-bit xor seeds (arbitrary odd constants, < 2^60 so the
+# xor'd digest stays positive in both engines)
+MINHASH_SEEDS = [
+    124076833,
+    457317139,
+    783266173,
+    912839471,
+    161803398874989,
+    271828182845904,
+    314159265358979,
+    577215664901532,
+]
+
+_MINHASH_LANES_SQL = ",\n    ".join(
+    f"min(xor(wh, {seed})) AS m{i}" for i, seed in enumerate(MINHASH_SEEDS)
+)
+
+MINHASH_SQL = f"""
 WITH words AS (
   SELECT doc_id, unnest(string_split(substr(text,1,200), ' ')) AS word
   FROM documents
-), minh AS (
-  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || word)) AS mh
-  FROM words, range(8) r(i)
-  WHERE word <> ''
-  GROUP BY doc_id, i
+), hashed AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS wh
+  FROM words WHERE word <> ''
+), wide AS (
+  SELECT doc_id,
+    {_MINHASH_LANES_SQL}
+  FROM hashed GROUP BY doc_id
 ), sig AS (
-  SELECT doc_id, CAST(i // 2 AS INT) AS band,
-    min(CASE WHEN i % 2 = 0 THEN mh END)
-      || min(CASE WHEN i % 2 = 1 THEN mh END) AS sig
-  FROM minh GROUP BY doc_id, CAST(i // 2 AS INT)
+  SELECT doc_id, 0 AS band, CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR) AS sig FROM wide
+  UNION ALL
+  SELECT doc_id, 1, CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR) FROM wide
+  UNION ALL
+  SELECT doc_id, 2, CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR) FROM wide
+  UNION ALL
+  SELECT doc_id, 3, CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR) FROM wide
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
 FROM sig a JOIN sig b
@@ -633,70 +658,64 @@ HAVING COUNT(*) >= 2
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-style 16-bit signature from per-word md5 bit votes,
-    bucketed; deterministic cross-engine via md5-hex nibble parsing."""
+    """SimHash 16-bit signature from per-word md5 bit votes, bucketed.
+
+    Scale shape: one md5 per word, the 16 bit-votes aggregated as 16
+    sum columns in a single map-side-combinable groupBy (no word x bit
+    row explosion); the signature is folded from the vote columns."""
     docs = _read(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.substring("text", 1, 200), " ")).alias("word"),
     ).filter(F.col("word") != "")
-    # per word: 16 bits from the first 4 hex chars of md5
-    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        words.crossJoin(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "bit",
-            F.when(
-                F.expr(
-                    "(cast(conv(substring(md5(word), 1, 4), 16, 10) as bigint)"
-                    " & shiftleft(cast(1 as bigint), bit)) > 0"
-                ),
-                1,
-            )
-            .otherwise(-1)
-            .alias("vote"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
+    hashed = words.select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substring(md5(word), 1, 4), 16, 10) as int)"
+        ).alias("h"),
     )
-    sig = votes.groupBy("doc_id").agg(
+    votes = [
         F.sum(
-            F.when(
-                F.col("v") > 0,
-                F.expr("shiftleft(cast(1 as bigint), bit)"),
-            ).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+            F.expr(f"case when ((h >> {b}) & 1) = 1 then 1 else -1 end")
+        ).alias(f"v{b}")
+        for b in range(16)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*votes)
+    simhash = F.expr(
+        " + ".join(f"(case when v{b} > 0 then {1 << b} else 0 end)"
+                   for b in range(16))
+    ).cast("bigint").alias("simhash")
+    sig = wide.select("doc_id", simhash)
     return sig.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc")
     )
 
 
-SIMHASH_SQL = """
+_SIMHASH_VOTES_SQL = ",\n    ".join(
+    f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(16)
+)
+_SIMHASH_FOLD_SQL = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+)
+
+SIMHASH_SQL = f"""
 WITH words AS (
   SELECT doc_id, unnest(string_split(substr(text,1,200), ' ')) AS word
   FROM documents
-), votes AS (
-  SELECT doc_id, bit,
-    CAST(SUM(CASE WHEN (CAST(('0x' || substr(md5(word),1,4)) AS INT)
-                        & (1 << CAST(bit AS INT))) > 0
-                  THEN 1 ELSE -1 END) AS BIGINT) AS v
-  FROM words, range(16) r(bit)
-  WHERE word <> ''
-  GROUP BY doc_id, bit
-), sig AS (
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(word),1,4)) AS INT) AS h
+  FROM words WHERE word <> ''
+), wide AS (
   SELECT doc_id,
-    CAST(SUM(CASE WHEN v > 0 THEN (1 << CAST(bit AS INT)) ELSE 0 END) AS BIGINT)
-      AS simhash
-  FROM votes GROUP BY doc_id
+    {_SIMHASH_VOTES_SQL}
+  FROM hashed GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST({_SIMHASH_FOLD_SQL} AS BIGINT) AS simhash FROM wide
 )
 SELECT simhash, COUNT(*) AS n_docs, min(doc_id) AS canonical_doc
 FROM sig GROUP BY simhash
 """
-
-
-# -- similarity search -----------------------------------------------------
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
