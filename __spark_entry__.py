@@ -39,10 +39,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible queries() entry.
 
-    ``flagship_extract`` is omitted deliberately: xy-cut reading-order
-    recovery is data-dependent recursion, not ANSI-SQL-expressible; its
-    byte-exact correctness is covered by the golden span-equality suite
-    (tests/test_pipeline_spark.py) against an independent oracle port.
+    Three entries are deliberately rows-only (data-dependent recursion
+    or tree/heap sweeps that ANSI SQL cannot express); each is pinned
+    by an independent local implementation instead:
+
+    * ``flagship_extract`` — xy-cut reading order; golden span-equality
+      suite (tests/test_pipeline_spark.py) vs the pure-Python oracle
+      port of the reference.
+    * ``boilerplate_cetd`` — CETD DOM-tree density strip;
+      tests/test_boilerplate.py Spark-vs-local equality.
+    * ``mix_interleave`` — heap split/truncate interleave
+      (mix_inference.py semantics); tests/test_mixkernel.py
+      Spark-vs-local equality.
     """
     from latyas_spark.relational.registry import oracle_sql as _oracle
 

@@ -368,3 +368,68 @@ def assemble_markdown(boxes: List[MixBox]) -> str:
         md += cur.content
         prev = cur
     return md.strip()
+
+
+# ---------------------------------------------------------------------------
+# Page-level compose: the full mixed text+equation path as one function
+# (detector/OCR stand-in: content is gathered from native spans)
+# ---------------------------------------------------------------------------
+
+
+def compose_mixed_page(text_rows, eq_rows) -> str:
+    """Full J5/J6/J7 interleave pipeline over one page.
+
+    ``text_rows``: (x1, y1, x2, y2, content) for text boxes;
+    ``eq_rows``: (x1, y1, x2, y2, is_isolated, content) for formulas.
+    Mirrors mix_inference.py:44-264 stage order: row-major sort ->
+    same-row merge -> split/truncate around latex (latex wins) ->
+    deterministic re-recognition of the fragments (center-x gather over
+    the original native text boxes — the span-model stand-in for
+    re-cropping) -> to_katex + $/$$ wrapping -> markdown assembly with
+    \\tag splice."""
+    originals = []
+    tb = []
+    for x1, y1, x2, y2, content in text_rows:
+        b = MixBox(
+            int(x1), int(y1), int(y2 - y1), int(x2 - x1),
+            label="text", content=content or "",
+        )
+        originals.append(b)
+        tb.append(
+            MixBox(int(x1), int(y1), int(y2 - y1), int(x2 - x1),
+                   label="text", content=content or "")
+        )
+    lb = []
+    for x1, y1, x2, y2, iso, content in eq_rows:
+        lb.append(
+            MixBox(
+                int(x1), int(y1), int(y2 - y1), int(x2 - x1),
+                label="isolated" if iso else "embedding",
+                content=content or "",
+            )
+        )
+    merged = merge_same_row(sorted(tb))
+    split = split_conflict(merged, sorted(lb))
+    # mix_inference.py:190: only text fragments survive the split; the
+    # latex boxes are recognized separately and added back at assembly
+    # (:218), so they appear even when the split short-circuits.
+    out = []
+    for b in split:
+        if b.label != "text" or b.w <= 0:
+            continue
+        # recognition stand-in: native text boxes whose center-x falls
+        # inside the fragment, same row, in row-major order
+        parts = [
+            o.content
+            for o in originals
+            if o.same_row(b) and b.x <= o.x + o.w / 2 < b.x + b.w
+            and o.content
+        ]
+        b.content = " ".join(parts)
+        if not b.content:
+            continue
+        out.append(b)
+    for b in lb:
+        b.content = wrap_latex_content(to_katex(b.content), b.label)
+        out.append(b)
+    return assemble_markdown(out)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from ..core.boilerplate import DEPTH_MOD, LINK_MOD
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -758,6 +759,172 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs via an inverted-index join.
+
+    Scale shape: NOT an n^2 doc cross join — distinct (doc, gram) rows
+    join on gram (the inverted index), so cost follows shared-gram
+    frequency; pair intersection counts come from a groupBy, union
+    sizes from per-doc distinct counts, Jaccard >= 0.4 filters.  The
+    skew guard every inverted index needs at 100 TB: drop grams shared
+    by more than 64 docs (stopword-gram equivalent of a frequency cap)
+    — applied identically in the DuckDB oracle."""
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.split(F.substring("text", 1, 200), " +").alias("w"),
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                # guard: sequence(0, -1) would DESCEND in Spark, so
+                # short texts must short-circuit to an empty array
+                F.expr(
+                    "case when size(w) >= 3 then"
+                    " transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                    " else array() end"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    grams_f = grams.join(
+        F.broadcast(freq.filter(F.col("df") <= 64).select("gram")), "gram"
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams_f.alias("a")
+    b = grams_f.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split_regex(substr(text, 1, 200), ' +') AS w
+  FROM documents
+), g0 AS (
+  SELECT doc_id,
+    unnest(range(CAST(greatest(len(w) - 2, 0) AS BIGINT))) AS i, w
+  FROM d
+), grams AS (
+  SELECT DISTINCT doc_id,
+    w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] || ' '
+      || w[CAST(i AS INT) + 3] AS gram
+  FROM g0
+), freq AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 64
+), gf AS (
+  SELECT grams.doc_id, grams.gram FROM grams JOIN freq USING (gram)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+  round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.4
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN (IVF/LSH scale path for cosine_topk): coarse cell =
+    sign bits of the first 8 dims; probe only the query's cell, rank by
+    cosine inside it.  At 10^12 rows the cell assignment is the
+    shuffle key (65k-way fan-out from 16 bits; here 8), so the probe
+    touches ~1/256 of the corpus instead of all of it — the classic
+    recall-for-cost trade vs the brute-force baseline."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    bucket = F.expr(
+        " + ".join(
+            f"(case when v[{b}] > 0 then {1 << b} else 0 end)" for b in range(8)
+        )
+    ).alias("bucket")
+    eb = emb.select("vec_id", "v", bucket)
+    q = eb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0 as double),"
+        " (s, x) -> s + x)"
+    )
+    nv = F.expr("aggregate(v, cast(0 as double), (s, x) -> s + x * x)")
+    nq = F.expr("aggregate(qv, cast(0 as double), (s, x) -> s + x * x)")
+    return (
+        eb.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(dot / (F.sqrt(nv) * F.sqrt(nq)), 3).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ANN_IVF_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), eb AS (
+  SELECT vec_id, v,
+    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+    + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+    + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+    + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END)
+    + (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END)
+    + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+  FROM e
+), q AS (SELECT v AS qv, bucket AS qbucket FROM eb WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, bucket,
+    round(
+      list_sum(list_transform(list_zip(eb.v, q.qv), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(eb.v, x -> x*x)))
+         * sqrt(list_sum(list_transform(q.qv, x -> x*x)))), 3) AS cos_sim
+  FROM eb, q WHERE eb.bucket = q.qbucket AND vec_id <> 0
+)
+SELECT vec_id, bucket, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 # -- text analysis ---------------------------------------------------------
 
 
@@ -824,6 +991,175 @@ FROM documents
 # -- flagship extraction (not SQL-expressible: rows-only check) ------------
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip, flat text-density rule (north rule; CETD
+    /Boilerpipe literature — NOT from LATYAS, see core/boilerplate.py).
+
+    DOM-node synthesis from (doc_id, text): 64-char chunks, md5-nibble
+    depth (1..6) and link flag.  Density is made integer-exact by
+    scaling with 420 = lcm(2..7): s = chars * (420/(1+depth)); keep a
+    node iff 5*n*s >= 4*sum(s) over the doc (i.e. density >= 0.8*mean)
+    and it is not a short link node — bit-identical in DuckDB, so the
+    cross-engine hash gate applies with no float tie-break risk."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    )
+    nodes = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                (F.ceil(F.length("text") / 64.0) - 1).cast("int"),
+            )
+        ).alias("nid"),
+        F.expr("substring(text, 1, length(text))").alias("text"),
+    ).select(
+        "doc_id",
+        "nid",
+        F.expr("substring(text, nid*64 + 1, 64)").alias("chunk"),
+    )
+    feat = nodes.withColumn(
+        "h",
+        F.expr(
+            "cast(conv(substring(md5(concat(doc_id, ':',"
+            " cast(nid as string))), 1, 4), 16, 10) as int)"
+        ),
+    ).select(
+        "doc_id",
+        "nid",
+        "chunk",
+        (F.lit(1) + F.col("h") % DEPTH_MOD).alias("depth"),
+        (F.col("h") % LINK_MOD == 0).alias("is_link"),
+    )
+    scaled = feat.withColumn(
+        "s", (F.length("chunk") * (F.lit(420) / (F.lit(1) + F.col("depth")))).cast("bigint")
+    )
+    w = Window.partitionBy("doc_id")
+    return (
+        scaled.withColumn("ssum", F.sum("s").over(w))
+        .withColumn("nn", F.count(F.lit(1)).over(w))
+        .filter(
+            (F.lit(5) * F.col("nn") * F.col("s") >= F.lit(4) * F.col("ssum"))
+            & ~(F.col("is_link") & (F.length("chunk") < 24))
+        )
+        .select("doc_id", F.col("nid").alias("pos"), F.col("chunk").alias("text"))
+    )
+
+
+BOILERPLATE_SQL = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+), expanded AS (
+  SELECT doc_id, text,
+    unnest(range(CAST(ceil(length(text)/64.0) AS BIGINT))) AS nid
+  FROM base
+), nodes AS (
+  SELECT doc_id, CAST(nid AS INT) AS nid,
+         substr(text, CAST(nid AS INT)*64 + 1, 64) AS chunk
+  FROM expanded
+), feat AS (
+  SELECT doc_id, nid, chunk,
+    CAST(('0x' || substr(md5(doc_id || ':' || CAST(nid AS VARCHAR)), 1, 4))
+      AS INT) AS h
+  FROM nodes
+), f2 AS (
+  SELECT doc_id, nid, chunk,
+    1 + h % 6 AS depth, (h % 7 = 0) AS is_link
+  FROM feat
+), scaled AS (
+  SELECT doc_id, nid, chunk, is_link,
+    CAST(length(chunk) * (420 / (1 + depth)) AS BIGINT) AS s
+  FROM f2
+), agg AS (
+  SELECT *, SUM(s) OVER (PARTITION BY doc_id) AS ssum,
+            COUNT(*) OVER (PARTITION BY doc_id) AS nn
+  FROM scaled
+)
+SELECT doc_id, nid AS pos, chunk AS text
+FROM agg
+WHERE 5 * nn * s >= 4 * ssum AND NOT (is_link AND length(chunk) < 24)
+"""
+
+
+def q_boilerplate_cetd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CETD DOM-tree composite-density strip (rows-only check: the
+    bottom-up subtree aggregation + body-branch threshold is data-
+    dependent tree recursion, not ANSI-SQL; golden-tested against the
+    local implementation in tests/test_boilerplate.py)."""
+    from ..core.boilerplate import strip_boilerplate_pdf
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "doc_id")
+    )
+    return docs.mapInPandas(
+        strip_boilerplate_pdf, schema="doc_id string, nid int, chunk string"
+    )
+
+
+def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+equation markdown per page — the reference's
+    mixed-OCR path (mix_inference.py:44-264) as a doc-partitioned
+    mapInPandas kernel over the events-derived corpus.  Rows-only
+    check: the heap split/truncate sweep is data-dependent; Spark-vs-
+    local equality is pinned by tests/test_mixkernel.py."""
+    import pandas as pd
+
+    from ..core.blocktypes import (
+        EMBED_EQ,
+        EQUATION,
+        TEXT_KINDS,
+        kind_from_label,
+    )
+    from ..core.mixkernel import compose_mixed_page
+    from ..pipeline.adapter import synth_blocks
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_doc, out_page, out_md = [], [], []
+            for (doc_id, page), g in pdf.groupby(["doc_id", "page"], sort=True):
+                texts, eqs = [], []
+                for x1, y1, x2, y2, label, text, conf in zip(
+                    g["x1"], g["y1"], g["x2"], g["y2"],
+                    g["label"], g["text"], g["conf"],
+                ):
+                    if conf <= 0.3:  # ultralytics_layout_model.py:81
+                        continue
+                    k = kind_from_label(label)
+                    if k == EQUATION:
+                        eqs.append((x1, y1, x2, y2, True, text))
+                    elif k == EMBED_EQ:
+                        eqs.append((x1, y1, x2, y2, False, text))
+                    elif k in TEXT_KINDS:
+                        texts.append((x1, y1, x2, y2, text))
+                md = compose_mixed_page(texts, eqs)
+                if md:
+                    out_doc.append(doc_id)
+                    out_page.append(page)
+                    out_md.append(md)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype=object),
+                    "page": pd.Series(out_page, dtype="int32"),
+                    "markdown": pd.Series(out_md, dtype=object),
+                }
+            )
+
+    blocks = synth_blocks(spark, sf_dir)
+    shaped = blocks.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "doc_id"
+    )
+    return shaped.mapInPandas(
+        run, schema="doc_id string, page int, markdown string"
+    )
+
+
 def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction DAG over the events-derived corpus: classify ->
     overlap merge -> containment/texmix -> gather -> xy-cut -> emit.
@@ -859,6 +1195,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "langid": (q_langid, LANGID_SQL),
     "fingerprint": (q_fingerprint, FINGERPRINT_SQL),
+    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "ann_ivf": (q_ann_ivf, ANN_IVF_SQL),
+    "boilerplate_strip": (q_boilerplate_strip, BOILERPLATE_SQL),
+    "boilerplate_cetd": (q_boilerplate_cetd, None),
+    "mix_interleave": (q_mix_interleave, None),
     "flagship_extract": (q_flagship_extract, None),
 }
 

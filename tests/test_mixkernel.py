@@ -152,3 +152,61 @@ class TestLatexRewrite:
         assert out == " $v = 0$ "
         with pytest.raises(AssertionError):
             normalize_inline("$x$")  # missing the ' $...$ ' frame
+
+
+def test_compose_mixed_page_interleaves_inline_and_tags():
+    from latyas_spark.core.mixkernel import compose_mixed_page
+
+    md = compose_mixed_page(
+        [(0, 0, 100, 20, "hello world"), (150, 0, 260, 20, "(3)")],
+        [(110, 0, 140, 20, True, "x^2 + y_1")],
+    )
+    assert md == "hello world\n\n$$x^2 + y_1\\tag{3}$$"
+    # single text box: split short-circuits but the latex must still
+    # appear (mix_inference.py:218 assembles ocr + latex regardless)
+    md2 = compose_mixed_page(
+        [(0, 0, 300, 20, "inline sample text")],
+        [(120, 2, 180, 18, False, "\\alpha")],
+    )
+    assert "$\\alpha$" in md2
+    md3 = compose_mixed_page(
+        [(0, 0, 120, 20, "left part"), (200, 0, 330, 20, "right part")],
+        [(130, 2, 190, 18, False, "\\beta + 1")],
+    )
+    assert md3 == "left part $\\beta + 1$ right part"
+
+
+def test_mix_interleave_spark_matches_local(spark, sf001_dir):
+    from latyas_spark.core.blocktypes import (
+        EMBED_EQ, EQUATION, TEXT_KINDS, kind_from_label,
+    )
+    from latyas_spark.core.mixkernel import compose_mixed_page
+    from latyas_spark.pipeline.adapter import synth_blocks
+    from latyas_spark.relational.registry import q_mix_interleave
+
+    got = {
+        (r["doc_id"], r["page"]): r["markdown"]
+        for r in q_mix_interleave(spark, sf001_dir).collect()
+    }
+    rows = synth_blocks(spark, sf001_dir).collect()
+    pages = {}
+    for r in rows:
+        pages.setdefault((r["doc_id"], r["page"]), []).append(r)
+    want = {}
+    for key, rs in pages.items():
+        texts, eqs = [], []
+        for r in rs:
+            if r["conf"] <= 0.3:
+                continue
+            k = kind_from_label(r["label"])
+            if k == EQUATION:
+                eqs.append((r["x1"], r["y1"], r["x2"], r["y2"], True, r["text"]))
+            elif k == EMBED_EQ:
+                eqs.append((r["x1"], r["y1"], r["x2"], r["y2"], False, r["text"]))
+            elif k in TEXT_KINDS:
+                texts.append((r["x1"], r["y1"], r["x2"], r["y2"], r["text"]))
+        md = compose_mixed_page(texts, eqs)
+        if md:
+            want[key] = md
+    assert got == want
+    assert len(got) > 50  # the corpus genuinely exercises the path

@@ -18,6 +18,11 @@ SUBSET = [
     "sessionize",
     "grid_rank",
     "cosine_topk",
+    "minhash_pairs",
+    "simhash_buckets",
+    "ngram_jaccard",
+    "ann_ivf",
+    "boilerplate_strip",
 ]
 
 
@@ -49,4 +54,4 @@ def test_every_query_has_callable_and_alignment():
     assert set(sqls) <= set(qs)
     # every non-oracle query is documented as rows-only
     rows_only = set(qs) - set(sqls)
-    assert rows_only == {"flagship_extract"}
+    assert rows_only == {"flagship_extract", "boilerplate_cetd", "mix_interleave"}
