@@ -408,6 +408,19 @@ def compose_mixed_page(text_rows, eq_rows) -> str:
                 content=content or "",
             )
         )
+    # Engine-level guard (not in the reference, which asserts instead):
+    # the split sweep assumes latex boxes never overlap each other in a
+    # row (mix_inference.py:145,167 asserts).  Detector output obeys
+    # that; arbitrary span corpora may not — drop row-major-later latex
+    # boxes that horizontally overlap an earlier same-row one.
+    lb_kept: List[MixBox] = []
+    for b in sorted(lb):
+        clash = any(
+            k.same_row(b) and b.x < k.right and k.x < b.right for k in lb_kept
+        )
+        if not clash:
+            lb_kept.append(b)
+    lb = lb_kept
     merged = merge_same_row(sorted(tb))
     split = split_conflict(merged, sorted(lb))
     # mix_inference.py:190: only text fragments survive the split; the

@@ -214,10 +214,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSIONIZE_SQL = """
 WITH flagged AS (
+  -- floor(epoch()) matches Spark's whole-second unix_timestamp();
+  -- raw epoch() carries microseconds and flips gaps like 600.18s
   SELECT user_id, event_id,
-    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY event_id))
+    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+              - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY event_id))) AS BIGINT)
               IS NULL
-         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY event_id))
+         OR CAST(floor(epoch(ts)) AS BIGINT)
+              - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY event_id))) AS BIGINT)
               > 600
          THEN 1 ELSE 0 END AS new_session
   FROM events
@@ -1131,13 +1137,21 @@ def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ):
                     if conf <= 0.3:  # ultralytics_layout_model.py:81
                         continue
+                    # The reference's mix path consumes OCR LINE boxes
+                    # (det rows), whose y-extents make same_row an
+                    # equivalence.  Arbitrary layout boxes violate that
+                    # (same_row is non-transitive -> the reference
+                    # would crash, mix_inference.py:161) — snap to
+                    # 80px line bands first: the span-model analog of
+                    # line detection.
+                    yb = float(int(y1 // 80) * 80)
                     k = kind_from_label(label)
                     if k == EQUATION:
-                        eqs.append((x1, y1, x2, y2, True, text))
+                        eqs.append((x1, yb, x2, yb + 64, True, text))
                     elif k == EMBED_EQ:
-                        eqs.append((x1, y1, x2, y2, False, text))
+                        eqs.append((x1, yb, x2, yb + 64, False, text))
                     elif k in TEXT_KINDS:
-                        texts.append((x1, y1, x2, y2, text))
+                        texts.append((x1, yb, x2, yb + 64, text))
                 md = compose_mixed_page(texts, eqs)
                 if md:
                     out_doc.append(doc_id)
