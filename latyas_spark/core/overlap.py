@@ -46,22 +46,25 @@ def overlap_merge(
         raise ValueError(f"unsupported overlapping strategy: {strategy}")
 
     n = len(kinds)
-    cx1 = np.asarray(x1, dtype=np.float64).copy()
-    cy1 = np.asarray(y1, dtype=np.float64).copy()
-    cx2 = np.asarray(x2, dtype=np.float64).copy()
-    cy2 = np.asarray(y2, dtype=np.float64).copy()
-    k = np.asarray(kinds, dtype=np.int64).copy()
+    # plain lists: the n^2 sweep touches ~15 scalars per pair and NumPy
+    # scalar indexing is ~5x a list index at page-sized n
+    cx1 = [float(v) for v in x1]
+    cy1 = [float(v) for v in y1]
+    cx2 = [float(v) for v in x2]
+    cy2 = [float(v) for v in y2]
+    k = [int(v) for v in kinds]
+    tmask = [bool(text_kind_mask[v]) for v in k]
 
     removed: set[int] = set()
     for i in range(n):
         if i in removed:
             continue
         for j in range(i + 1, n):
-            if k[i] != k[j] and not (text_kind_mask[k[i]] and text_kind_mask[k[j]]):
+            if k[i] != k[j] and not (tmask[i] and tmask[j]):
                 continue
             iw = min(cx2[i], cx2[j]) - max(cx1[i], cx1[j])
             ih = min(cy2[i], cy2[j]) - max(cy1[i], cy1[j])
-            inter = max(iw, 0.0) * max(ih, 0.0)
+            inter = (iw if iw > 0.0 else 0.0) * (ih if ih > 0.0 else 0.0)
             area_i = (cx2[i] - cx1[i]) * (cy2[i] - cy1[i])
             area_j = (cx2[j] - cx1[j]) * (cy2[j] - cy1[j])
             if not (inter > area_threshold * area_i or inter > area_threshold * area_j):
@@ -74,11 +77,25 @@ def overlap_merge(
                 removed.add(i)
                 if k[i] > k[j]:
                     k[j] = k[i]
-                ux1, uy1 = min(cx1[i], cx1[j]), min(cy1[i], cy1[j])
-                ux2, uy2 = max(cx2[i], cx2[j]), max(cy2[i], cy2[j])
-                cx1[j], cy1[j], cx2[j], cy2[j] = ux1, uy1, ux2, uy2
+                    tmask[j] = bool(text_kind_mask[k[j]])
+                if cx1[i] < cx1[j]:
+                    cx1[j] = cx1[i]
+                if cy1[i] < cy1[j]:
+                    cy1[j] = cy1[i]
+                if cx2[i] > cx2[j]:
+                    cx2[j] = cx2[i]
+                if cy2[i] > cy2[j]:
+                    cy2[j] = cy2[i]
 
     keep = np.array(
         [i for i in range(n) if i not in removed], dtype=np.int64
     )
-    return keep, cx1[keep], cy1[keep], cx2[keep], cy2[keep], k[keep]
+    arr = lambda xs: np.array([xs[i] for i in keep], dtype=np.float64)  # noqa: E731
+    return (
+        keep,
+        arr(cx1),
+        arr(cy1),
+        arr(cx2),
+        arr(cy2),
+        np.array([k[i] for i in keep], dtype=np.int64),
+    )

@@ -34,6 +34,8 @@ sort), mirroring Python's ``sorted`` stability (:35).
 
 from __future__ import annotations
 
+from bisect import bisect_left, bisect_right
+
 import numpy as np
 
 HORIZONTAL = 0  # cut along x (vertical split lines)
@@ -157,27 +159,41 @@ def xy_cut_order(
         child_m = m - depth * (m / max_depth)
         next_axis = VERTICAL if axis == HORIZONTAL else HORIZONTAL
 
-        segments: list[list[int]] = []
-        rest = idx
+        # Equivalent O(k log k) form of the reference's rescan loop
+        # (semantics proof: near(cut) = {hi <= cut} since lo <= hi;
+        # far(cut) = {lo >= cut}; straddle iff some box has
+        # lo < cut < hi strictly; a duplicate/empty-near candidate is
+        # skipped with state unchanged).  Boxes sorted by hi give the
+        # consumed prefix per valid cut; a suffix-min of lo over that
+        # order answers the straddle test in O(log k) per candidate.
+        by_hi = sorted(idx, key=lambda i: hi_all[i])
+        his = [hi_all[i] for i in by_hi]
+        kk = len(by_hi)
+        suffix_min_lo = [0.0] * (kk + 1)
+        suffix_min_lo[kk] = float("inf")
+        for p in range(kk - 1, -1, -1):
+            lo_p = lo_all[by_hi[p]]
+            nxt = suffix_min_lo[p + 1]
+            suffix_min_lo[p] = lo_p if lo_p < nxt else nxt
+        valid_cuts: list[float] = []
+        consumed = 0
         for cut in cands:
-            near: list[int] = []
-            far: list[int] = []
-            straddle = False
-            for i in rest:
-                lo = lo_all[i]
-                hi = hi_all[i]
-                if lo <= cut and hi <= cut:  # first branch wins
-                    near.append(i)
-                elif lo >= cut and hi >= cut:
-                    far.append(i)
-                else:
-                    straddle = True
-                    break
-            if straddle or not near:
+            pos = bisect_right(his, cut)
+            if pos <= consumed:  # near side empty
                 continue
-            segments.append(near)
-            rest = far
-        segments.append(rest)
+            if suffix_min_lo[pos] < cut:  # straddler exists
+                continue
+            valid_cuts.append(cut)
+            consumed = pos
+        if valid_cuts:
+            nseg = len(valid_cuts) + 1
+            segments: list[list[int]] = [[] for _ in range(nseg)]
+            for i in idx:  # original order preserved within segments
+                segments[bisect_left(valid_cuts, hi_all[i])].append(i)
+            if not segments[-1]:
+                segments.pop()
+        else:
+            segments = [idx]
 
         for seg in reversed(segments):
             stack.append((seg, next_axis, child_m, depth + 1))
