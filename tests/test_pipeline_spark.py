@@ -128,3 +128,43 @@ def test_join_reuses_doc_id_copartitioning(spark, corpus_dir):
         assert "offset" not in p, plan
         assert "doc_id" in p, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sinks_page_texts_and_labelme(spark, corpus_dir, tmp_path):
+    import json
+    import glob
+
+    from latyas_spark.pipeline.sinks import write_labelme, write_page_texts
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    blocks = spark.read.parquet(f"{corpus_dir}/layout_blocks.parquet")
+    spans = extract_spans(docs, blocks)
+
+    out_t = str(tmp_path / "texts")
+    write_page_texts(spans, out_t)
+    texts = spark.read.parquet(out_t)
+    assert texts.count() > 0
+    row = texts.filter("doc_id = 'doc-00000000'").collect()[0]
+    want = [
+        t for (_k, t, _m, _o) in sorted(
+            extract_document_oracle(
+                sorted(corpus_rows(1, mega_every=0), key=lambda r: r["offset"])
+            ),
+            key=lambda s: s[3],
+        )
+        if t is not None
+    ]
+    assert row["text"] == "\n\n\n".join(want)
+
+    out_l = str(tmp_path / "labelme")
+    write_labelme(blocks, out_l)
+    rec = None
+    for f in glob.glob(out_l + "/part-*.json"):
+        for line in open(f):
+            rec = json.loads(line)
+            break
+        if rec:
+            break
+    assert rec and rec["version"] == "5.0.1"
+    assert rec["shapes"][0]["shape_type"] == "rectangle"
+    assert len(rec["shapes"][0]["points"]) == 2
