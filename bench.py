@@ -45,6 +45,7 @@ HEADLINE = [
     "boilerplate_strip",
     "boilerplate_cetd",
     "mix_interleave",
+    "ocr_route",
     "flagship_extract",
 ]
 
@@ -125,6 +126,34 @@ def _run_extraction(master: str, corpus: str, n_docs: int) -> dict:
                 "docs_per_sec": round(n_docs / wall, 2)}
     finally:
         spark.stop()
+
+
+def _single_core_rate() -> float:
+    """Quick 1.5s single-process busy-loop throughput (Miter/s)."""
+    t_end = time.perf_counter() + 1.5
+    n = 0
+    x = 1.0
+    while time.perf_counter() < t_end:
+        for _ in range(10000):
+            x = x * 1.0000001 + 0.5
+        n += 10000
+    return n / 1.5 / 1e6
+
+
+def _wait_for_quiet(nominal: float = 30.0, attempts: int = 10) -> float:
+    """Scaling runs are meaningless under noisy-neighbor CPU theft (one
+    observed episode halved the host: 64 vs ~110 Miter/s at K=4).
+    Gate each timed section on single-core throughput reaching
+    ``nominal`` Miter/s; give up after ~5 min and proceed (the ceiling
+    numbers recorded alongside the results still expose a bad window).
+    """
+    rate = _single_core_rate()
+    for _ in range(attempts):
+        if rate >= nominal:
+            break
+        time.sleep(30)
+        rate = _single_core_rate()
+    return round(rate, 1)
 
 
 def _cpu_ceiling() -> dict:
@@ -216,10 +245,11 @@ def main() -> None:
     scaling = None
     if not SKIP_SCALING:
         corpus = _fixture_corpus(BENCH_DOCS)
-        runs = {
-            n: _run_extraction(f"local[{n}]", corpus, BENCH_DOCS)
-            for n in (4, 8, 16, 32)
-        }
+        runs = {}
+        quiet = {}
+        for n in (4, 8, 16, 32):
+            quiet[n] = _wait_for_quiet()
+            runs[n] = _run_extraction(f"local[{n}]", corpus, BENCH_DOCS)
         thr = {n: runs[n]["docs_per_sec"] for n in runs}
         scaling = {
             "runs": list(runs.values()),
@@ -232,6 +262,7 @@ def main() -> None:
             "efficiency": round((thr[16] / thr[4]) / 4.0, 3),
             "efficiency_8_32": round((thr[32] / thr[8]) / 4.0, 3),
             "cpu_ceiling": _cpu_ceiling(),
+            "quiet_gate_miters": quiet,
         }
 
     total = round(time.perf_counter() - t_start, 3)

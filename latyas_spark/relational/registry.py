@@ -1107,6 +1107,55 @@ def q_boilerplate_cetd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The paper pipeline's kind -> OCR-model routing table
+# (paper_pipeline.py:47-59); kinds are lowercased BlockType names.
+OCR_RULES = [
+    ("title", "ocr_paddle"), ("text", "ocr_paddle"),
+    ("caption", "ocr_paddle"), ("tablecaption", "ocr_paddle"),
+    ("figurecaption", "ocr_paddle"), ("reference", "ocr_paddle"),
+    ("header", "ocr_paddle"), ("footer", "ocr_paddle"),
+    ("equation", "ocr_texteller"), ("embedeq", "ocr_texteller"),
+    ("textwithequation", "ocr_texmix"), ("table", "tsr_gotocr2"),
+]
+
+
+def q_ocr_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 rule-dispatch as a broadcast join: classified blocks join the
+    (tiny, broadcast) kind->model rule table; kinds with no rule are
+    surfaced as model='unrouted' with their count (the reference raises
+    on a missing rule, base_pipeline.py:91-92 — at corpus scale we
+    count instead of aborting the job)."""
+    b = synth_blocks(spark, sf_dir).withColumn("kind", _classify_col())
+    rules = spark.createDataFrame(OCR_RULES, "kind string, model string")
+    routed = b.filter(F.col("conf") > 0.3).join(
+        F.broadcast(rules), "kind", "left"
+    )
+    return routed.groupBy(
+        F.coalesce(F.col("model"), F.lit("unrouted")).alias("model")
+    ).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.countDistinct("kind").alias("n_kinds"),
+    )
+
+
+_OCR_RULES_SQL = " UNION ALL ".join(
+    f"SELECT '{k}' AS kind, '{m}' AS model" for k, m in OCR_RULES
+)
+
+OCR_ROUTE_SQL = (
+    _blocks_cte()
+    + f""",
+classified AS (
+  SELECT *, {CLASSIFY_SQL_CASE} AS kind FROM blocks WHERE conf > 0.3
+), rules AS ({_OCR_RULES_SQL})
+SELECT COALESCE(rules.model, 'unrouted') AS model,
+  COUNT(*) AS n_blocks, COUNT(DISTINCT classified.kind) AS n_kinds
+FROM classified LEFT JOIN rules ON classified.kind = rules.kind
+GROUP BY COALESCE(rules.model, 'unrouted')
+"""
+)
+
+
 def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved text+equation markdown per page — the reference's
     mixed-OCR path (mix_inference.py:44-264) as a doc-partitioned
@@ -1213,6 +1262,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_ivf": (q_ann_ivf, ANN_IVF_SQL),
     "boilerplate_strip": (q_boilerplate_strip, BOILERPLATE_SQL),
     "boilerplate_cetd": (q_boilerplate_cetd, None),
+    "ocr_route": (q_ocr_route, OCR_ROUTE_SQL),
     "mix_interleave": (q_mix_interleave, None),
     "flagship_extract": (q_flagship_extract, None),
 }

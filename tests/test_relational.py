@@ -23,6 +23,7 @@ SUBSET = [
     "ngram_jaccard",
     "ann_ivf",
     "boilerplate_strip",
+    "ocr_route",
 ]
 
 
