@@ -956,6 +956,65 @@ FROM documents
 """
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features + composite score (training-data
+    filtering heuristics: length band, mean word length, stopword
+    ratio, symbol ratio — Gopher/C4-style rules, all integer-exact or
+    exact-ratio arithmetic for cross-engine hashing)."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " +")
+    n_words = F.size(words)
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "of", "and", "to"))
+    )
+    n_sym = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    )
+    feats = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(F.length(F.regexp_replace("text", " ", "")) / n_words, 4).alias(
+            "mean_word_len"
+        ),
+        F.round(n_stop / n_words, 4).alias("stopword_ratio"),
+        F.round(n_sym / F.length("text"), 4).alias("symbol_ratio"),
+    )
+    return feats.select(
+        "*",
+        (
+            (F.col("n_words") >= 10)
+            & (F.col("n_words") <= 1000)
+            & (F.col("mean_word_len") >= 2.0)
+            & (F.col("mean_word_len") <= 12.0)
+            & (F.col("symbol_ratio") <= 0.2)
+        ).alias("passes"),
+    )
+
+
+QUALITY_SQL = """
+WITH w AS (
+  SELECT doc_id, text, string_split_regex(trim(text), ' +') AS words
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    round(length(replace(text, ' ', '')) * 1.0 / len(words), 4)
+      AS mean_word_len,
+    round(len(list_filter(words,
+        w -> w IN ('the', 'a', 'of', 'and', 'to'))) * 1.0 / len(words), 4)
+      AS stopword_ratio,
+    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+      * 1.0 / length(text), 4) AS symbol_ratio
+  FROM w
+)
+SELECT *,
+  (n_words >= 10 AND n_words <= 1000 AND mean_word_len >= 2.0
+   AND mean_word_len <= 12.0 AND symbol_ratio <= 0.2) AS passes
+FROM f
+"""
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (charset + stopword) vs the label column."""
     docs = _read(spark, sf_dir, "documents")
@@ -1256,6 +1315,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "simhash_buckets": (q_simhash_buckets, SIMHASH_SQL),
     "cosine_topk": (q_cosine_topk, COSINE_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
+    "quality_score": (q_quality_score, QUALITY_SQL),
     "langid": (q_langid, LANGID_SQL),
     "fingerprint": (q_fingerprint, FINGERPRINT_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),

@@ -24,6 +24,7 @@ SUBSET = [
     "ann_ivf",
     "boilerplate_strip",
     "ocr_route",
+    "quality_score",
 ]
 
 
