@@ -57,3 +57,19 @@ def test_every_query_has_callable_and_alignment():
     # every non-oracle query is documented as rows-only
     rows_only = set(qs) - set(sqls)
     assert rows_only == {"flagship_extract", "boilerplate_cetd", "mix_interleave"}
+
+
+def test_no_per_row_python_udfs_anywhere():
+    """North-rule invariant (SURVEY.md §7 step 4): no row-at-a-time
+    Python UDFs in the engine — only Arrow-batched mapInPandas /
+    applyInPandas kernels and JVM builtins."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "latyas_spark"
+    bad = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        if re.search(r"F\.udf\(|@udf\b|pandas_udf\(.*PandasUDFType\.SCALAR_ITER", src):
+            bad.append(str(p))
+    assert not bad, f"per-row/legacy UDF usage in: {bad}"
