@@ -23,6 +23,16 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "240000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
+# Bench-only session conf: shuffle/spill on tmpfs removes disk-writeback
+# stalls from timing runs.  Deliberately NOT a build_session default —
+# a library default of tmpfs would make large jobs consume RAM instead
+# of spilling to disk (ADVICE r1).
+BENCH_CONF = {
+    "spark.local.dir": os.environ.get(
+        "SPARK_LOCAL_DIRS", "/dev/shm/spark-local"
+    )
+}
+
 HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
@@ -86,7 +96,7 @@ def _fixture_corpus(n_docs: int) -> str:
         from latyas_spark.fixtures import write_corpus_spark
         from latyas_spark.pipeline.session import build_session
 
-        spark = build_session(master=f"local[{CPUS}]", app_name="bench-gen")
+        spark = build_session(master=f"local[{CPUS}]", app_name="bench-gen", extra_conf=BENCH_CONF)
         try:
             write_corpus_spark(spark, d, n_docs=n_docs, mega_every=1999)
         finally:
@@ -112,7 +122,7 @@ def _run_extraction(master: str, corpus: str, n_docs: int, n_timed: int = 2) -> 
     from latyas_spark.pipeline.extract import extract_spans
     from latyas_spark.pipeline.session import build_session
 
-    spark = build_session(master=master, app_name=f"bench-{master}")
+    spark = build_session(master=master, app_name=f"bench-{master}", extra_conf=BENCH_CONF)
     try:
         docs = spark.read.parquet(f"{corpus}/documents.parquet")
         blocks = spark.read.parquet(f"{corpus}/layout_blocks.parquet")
@@ -244,7 +254,7 @@ def main() -> None:
 
     from latyas_spark.pipeline.session import build_session
 
-    spark = build_session(master=f"local[{CPUS}]", app_name="bench-headline")
+    spark = build_session(master=f"local[{CPUS}]", app_name="bench-headline", extra_conf=BENCH_CONF)
     try:
         qtimes = _bench_queries(spark)
     finally:

@@ -380,6 +380,22 @@ def extract_spans(
         ).lower()
         == "false"
     )
+    # AQE skew-join splitting breaks a skewed join partition by mapper
+    # ranges, scattering one doc's rows across tasks — fatal for the
+    # doc-grouped kernel, which assumes each doc lives in exactly one
+    # partition.  build_session disables it (mega routing handles doc
+    # skew), but if this plan runs in a foreign session with it on, the
+    # no-exchange fast path is NOT safe: fall back to an explicit
+    # kernel repartition, which re-asserts clustering after the join.
+    skew_split_on = (
+        spark.conf.get("spark.sql.adaptive.enabled", "true").lower() == "true"
+        and spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled", "false"
+        ).lower()
+        == "true"
+    )
+    if skew_split_on:
+        subset_ok = False
     spans = explode_documents(documents)
     P = _kernel_partitions(spans)
     joined = spans.repartition(P, "doc_id").join(

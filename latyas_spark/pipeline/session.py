@@ -33,7 +33,16 @@ def build_session(
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Skew-join splitting OFF: the flagship feeds a co-partitioned
+        # join straight into a doc-grouped kernel, and AQE's skew
+        # splitter breaks a skewed join partition by mapper ranges —
+        # scattering one document across tasks and silently corrupting
+        # the per-doc (doc_id, order) sequences.  Document skew is
+        # handled explicitly by the mega-doc routing in
+        # pipeline/extract.py instead; extract_spans also re-asserts
+        # clustering if it finds itself in a session with skew
+        # splitting enabled.
+        .config("spark.sql.adaptive.skewJoin.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Let HashPartitioning(doc_id) satisfy a join's clustered
         # distribution on (doc_id, offset): both extract_spans inputs
@@ -49,10 +58,11 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
-        # Local-mode shuffle files go to tmpfs: removes disk-writeback
-        # stalls from the measurement.  On a real cluster this maps to
-        # executor-local NVMe (spark.local.dir is a cluster setting).
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+        # NOTE: spark.local.dir is deliberately NOT set here.  The bench
+        # harness points it at tmpfs (bench.py extra_conf) to remove
+        # disk-writeback stalls from timing runs, but a library default
+        # of tmpfs would make every large job's shuffle/spill consume
+        # RAM and OOM instead of spilling to disk.
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -569,18 +569,29 @@ FROM documents GROUP BY md5(text)
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates over word shingles.
+    """MinHash+LSH near-dup candidates over FULL-text word shingles.
 
     Scale shape: ONE md5 per word (not per word x hash), the 8 minhash
     lanes are xor-seeded variants of that 60-bit digest aggregated as 8
     columns in a single map-side-combinable groupBy — the shuffle
     carries one 8-column row per doc, not |words| x 8 rows.  Bands are
     pairs of lanes; candidate pairs share >= 2 of 4 bands (classic
-    banding: Leskovec et al., Mining of Massive Datasets ch.3)."""
+    banding: Leskovec et al., Mining of Massive Datasets ch.3).
+
+    The 100 TB guard every LSH bucket join needs: a (band, sig) bucket
+    shared by f docs yields f*(f-1)/2 join pairs, so one popular
+    signature (empty/boilerplate docs) makes the self-join quadratic on
+    a single key.  Buckets with more than MINHASH_BUCKET_CAP docs are
+    dropped before the join (the minhash twin of ngram_jaccard's df<=64
+    stopword-gram cap) — such buckets are boilerplate clusters, not
+    near-dup signal, and exact duplicates inside them are already
+    caught by dedup_exact.  The bucket count is a window over the same
+    (band, sig) hash partitioning the self-join shuffles on, so the cap
+    adds no extra exchange on the probe side."""
     docs = _read(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
-        F.explode(F.split(F.substring("text", 1, 200), " ")).alias("word"),
+        F.explode(F.split("text", " ")).alias("word"),
     ).filter(F.col("word") != "")
     hashed = words.select(
         "doc_id",
@@ -601,8 +612,14 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as (band, sig)"
         ),
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
+    bw = Window.partitionBy("band", "sig")
+    sig_f = (
+        sig.withColumn("bucket_n", F.count(F.lit(1)).over(bw))
+        .filter(F.col("bucket_n") <= MINHASH_BUCKET_CAP)
+        .select("doc_id", "band", "sig")
+    )
+    a = sig_f.alias("a")
+    b = sig_f.alias("b")
     return (
         a.join(
             b,
@@ -617,6 +634,10 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared_bands") >= 2)
     )
 
+
+# Max docs per (band, sig) LSH bucket before the bucket is discarded
+# as boilerplate (see q_minhash_pairs docstring).
+MINHASH_BUCKET_CAP = 64
 
 # 8 fixed 60-bit xor seeds (arbitrary odd constants, < 2^60 so the
 # xor'd digest stays positive in both engines)
@@ -637,7 +658,7 @@ _MINHASH_LANES_SQL = ",\n    ".join(
 
 MINHASH_SQL = f"""
 WITH words AS (
-  SELECT doc_id, unnest(string_split(substr(text,1,200), ' ')) AS word
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
   FROM documents
 ), hashed AS (
   SELECT doc_id,
@@ -655,9 +676,12 @@ WITH words AS (
   SELECT doc_id, 2, CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR) FROM wide
   UNION ALL
   SELECT doc_id, 3, CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR) FROM wide
+), sig_f AS (
+  SELECT doc_id, band, sig FROM sig
+  QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= {MINHASH_BUCKET_CAP}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
-FROM sig a JOIN sig b
+FROM sig_f a JOIN sig_f b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= 2
@@ -665,7 +689,8 @@ HAVING COUNT(*) >= 2
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 16-bit signature from per-word md5 bit votes, bucketed.
+    """SimHash 16-bit signature from FULL-text per-word md5 bit votes,
+    bucketed.
 
     Scale shape: one md5 per word, the 16 bit-votes aggregated as 16
     sum columns in a single map-side-combinable groupBy (no word x bit
@@ -673,7 +698,7 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
-        F.explode(F.split(F.substring("text", 1, 200), " ")).alias("word"),
+        F.explode(F.split("text", " ")).alias("word"),
     ).filter(F.col("word") != "")
     hashed = words.select(
         "doc_id",
@@ -708,7 +733,7 @@ _SIMHASH_FOLD_SQL = " + ".join(
 
 SIMHASH_SQL = f"""
 WITH words AS (
-  SELECT doc_id, unnest(string_split(substr(text,1,200), ' ')) AS word
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
   FROM documents
 ), hashed AS (
   SELECT doc_id, CAST(('0x' || substr(md5(word),1,4)) AS INT) AS h
@@ -777,7 +802,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     — applied identically in the DuckDB oracle."""
     docs = _read(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.split(F.substring("text", 1, 200), " +").alias("w"),
+        F.split("text", " +").alias("w"),
     )
     grams = (
         docs.select(
@@ -832,7 +857,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_JACCARD_SQL = """
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         string_split_regex(substr(text, 1, 200), ' +') AS w
+         string_split_regex(text, ' +') AS w
   FROM documents
 ), g0 AS (
   SELECT doc_id,
@@ -1231,11 +1256,17 @@ def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..core.mixkernel import compose_mixed_page
     from ..pipeline.adapter import synth_blocks
+    from ..pipeline.extract import _sorted_partition_chunks
 
     def run(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
+        # Buffer the WHOLE task partition before grouping: Arrow hands
+        # mapInPandas the partition in maxRecordsPerBatch slices, so
+        # per-batch grouping would split a (doc_id, page) group across
+        # batches on any partition over 100k rows and emit duplicate
+        # partial markdown rows for the same page.
+        for pdf in _sorted_partition_chunks(
+            batches, ["doc_id", "page", "offset"]
+        ):
             out_doc, out_page, out_md = [], [], []
             for (doc_id, page), g in pdf.groupby(["doc_id", "page"], sort=True):
                 texts, eqs = [], []

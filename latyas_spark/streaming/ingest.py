@@ -4,9 +4,14 @@ The reference has no streaming (SURVEY.md §2.10) and the north rule is
 batch + checkpoint/resume; this module is the engine's INGESTION story
 for a corpus that keeps growing: newly-landed document files flow
 through the identical batch plan via ``foreachBatch`` — one code path,
-two execution modes, exactly-once per input file from the streaming
-checkpoint (file-source commit log), idempotent output via append of
-immutable per-batch results.
+two execution modes.  The streaming checkpoint (file-source commit
+log) guarantees each input file is assigned to exactly one batch_id;
+end-to-end exactly-once then requires the batch WRITE to be
+idempotent under retry, which a blind append is not (a batch that
+fails after a partial write is retried from the checkpoint and would
+double its rows).  The sink therefore partitions by batch_id and uses
+dynamic partition overwrite: a retry replaces exactly its own batch's
+partition, leaving committed batches untouched.
 
 Why foreachBatch rather than a fully-streaming DAG: the extraction
 kernel is a per-document batch transform (no cross-document state, no
@@ -47,11 +52,13 @@ def stream_extract(
     """Incremental extraction of newly-landed nested-document parquet.
 
     Each micro-batch runs the EXACT batch plan (extract_spans: salted
-    co-partitioned join + kernel + mega routing) and appends its span
-    rows; the streaming checkpoint guarantees each input file is
-    processed once across restarts.  ``available_now=True`` drains the
-    current backlog and stops — the cron-style incremental ingestion
-    mode; pass False for a continuously-running tail.
+    co-partitioned join + kernel + mega routing) and commits its span
+    rows under ``batch_id=<id>/`` via dynamic partition overwrite —
+    idempotent under micro-batch retry (a replayed batch overwrites
+    only its own partition), so delivery is exactly-once end to end.
+    ``available_now=True`` drains the current backlog and stops — the
+    cron-style incremental ingestion mode; pass False for a
+    continuously-running tail.
     """
     reader = spark.readStream.schema(DOC_SCHEMA)
     if max_files_per_trigger:
@@ -62,7 +69,14 @@ def stream_extract(
         out = extract_spans(
             batch_df, layout_blocks, cfg, mega_threshold=mega_threshold
         ).withColumn("batch_id", F.lit(batch_id))
-        out.write.mode("append").parquet(output_dir)
+        # overwrite scoped to THIS batch's partition: retries replace
+        # a partially-written batch instead of appending it twice
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
 
     writer = (
         docs.writeStream.foreachBatch(process)

@@ -59,6 +59,32 @@ def test_every_query_has_callable_and_alignment():
     assert rows_only == {"flagship_extract", "boilerplate_cetd", "mix_interleave"}
 
 
+def test_minhash_bucket_cap_suppresses_hot_signature(spark, tmp_path):
+    """100 TB guard (VERDICT r1): a boilerplate signature shared by more
+    docs than MINHASH_BUCKET_CAP must not quadratically join — its
+    (band, sig) buckets are dropped, while genuine small near-dup
+    clusters still pair."""
+    hot_n = R.MINHASH_BUCKET_CAP + 36
+    rows = [
+        (f"boiler-{i:04d}", "subscribe to our newsletter terms apply")
+        for i in range(hot_n)
+    ]
+    rows += [
+        ("near-a", "the quick brown fox jumps over the lazy dog today"),
+        ("near-b", "the quick brown fox jumps over the lazy dog today"),
+    ]
+    d = str(tmp_path / "hotsig")
+    spark.createDataFrame(rows, "doc_id string, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = R.q_minhash_pairs(spark, d).toPandas()
+    # the identical near-dup pair survives with all 4 bands shared
+    assert len(got) == 1
+    assert {got.loc[0, "doc_a"], got.loc[0, "doc_b"]} == {"near-a", "near-b"}
+    assert got.loc[0, "shared_bands"] == 4
+    # without the cap this would have been hot_n*(hot_n-1)/2 extra pairs
+
+
 def test_no_per_row_python_udfs_anywhere():
     """North-rule invariant (SURVEY.md §7 step 4): no row-at-a-time
     Python UDFs in the engine — only Arrow-batched mapInPandas /
