@@ -57,9 +57,28 @@ class ExtractConfig:
     gather_ratio: float = 0.5  # base_pipeline.py:34
     cjk_filters: bool = False  # pdf2txt.py:86-89 (report variant)
     keep_media: bool = True  # extension: emit media spans
+    # Preset rule gate (paper/report/book pipelines bind different
+    # kind->model tables; base_pipeline.py:115-186 looks a block's kind
+    # up before every OCR stage).  None = every kind ruled (paper).
+    # A kind with no rule makes the reference RAISE mid-page; at corpus
+    # scale we leave the block textless instead (not emitted) — the
+    # documented divergence shared with ocr_route's 'unrouted' counts.
+    ruled_kinds: Optional[frozenset] = None
+    # Dual-source (pdf2txt.py) parameters: detection bboxes live in
+    # render coords (scale x2, y down from top-left); the PDF text
+    # layer lives in PDF coords (y up from bottom-left).  C7 transform:
+    # x' = x/render_scale, y' = page_height - y/render_scale
+    # (pdf2txt.py:56,71).
+    render_scale: float = 2.0  # pdf2txt.py:56
+    page_height: float = 1100.0  # page.get_size() stand-in (pdf2txt.py:54)
+    arbitrate_threshold: float = 0.2  # pdf2txt.py:83
 
 
 DEFAULT_CONFIG = ExtractConfig()
+
+
+def _kind_ruled(cfg: ExtractConfig, kind_code: int) -> bool:
+    return cfg.ruled_kinds is None or kind_code in cfg.ruled_kinds
 
 Span = Tuple[str, Optional[str], Optional[str]]  # (kind, text, media_ref)
 
@@ -147,12 +166,27 @@ def extract_page(
     texts: Sequence[Optional[str]],
     media_refs: Sequence[Optional[str]],
     cfg: ExtractConfig = DEFAULT_CONFIG,
+    det: Optional[np.ndarray] = None,
+    offsets: Optional[np.ndarray] = None,
 ) -> List[Span]:
     """Run the full page DAG; rows must be in span-offset order.
 
     Each input row is both a detection candidate (bbox, conf, label)
     and a text-layer rect (bbox, native text).  Returns the emitted
     spans in reading order.
+
+    ``det`` (multi-detector U1, layout.py:67-68): detector index per
+    row.  Rows must arrive detector-major ((det, offset) order — the
+    reference's Layout.merge appends detector 2's blocks after
+    detector 1's, base_pipeline.py:104-111), and the PDF text layer is
+    built from detector 0's rows only: the text layer is a property of
+    the page, not of a detector, so a second detector's jittered
+    re-detections must not duplicate gathered text.
+
+    ``offsets``: doc-wide span offset per row; used as the identity key
+    for the texmix equation-line exclusion (mix mask analog).  Without
+    it the row index is the key — identical semantics single-detector,
+    but multi-detector rows sharing an offset must exclude by offset.
     """
     x1 = np.asarray(x1, dtype=np.float64)
     y1 = np.asarray(y1, dtype=np.float64)
@@ -162,7 +196,10 @@ def extract_page(
     n = len(x1)
 
     # text layer: every row with native text, regardless of confidence
-    layer_idx = [i for i in range(n) if texts[i] is not None]
+    layer_idx = [
+        i for i in range(n)
+        if texts[i] is not None and (det is None or det[i] == 0)
+    ]
     layer_rects = np.stack(
         [x1[layer_idx], y1[layer_idx], x2[layer_idx], y2[layer_idx]], axis=1
     ) if layer_idx else np.empty((0, 4))
@@ -192,10 +229,12 @@ def extract_page(
     block_text: List[Optional[str]] = [None] * m
     has_eq = np.zeros(m, dtype=bool)
 
-    # stage 4: equation OCR (own span text)
-    for b in range(m):
-        if bkinds[b] == bt.EQUATION:
-            block_text[b] = texts[src[b]]
+    # stage 4: equation OCR (own span text); rule-gated per preset
+    # (base_pipeline.py:120-125 — reference raises without a rule)
+    if _kind_ruled(cfg, bt.EQUATION):
+        for b in range(m):
+            if bkinds[b] == bt.EQUATION:
+                block_text[b] = texts[src[b]]
 
     # stage 5: embedded-equation containment -> texmix compose
     text_mask = bt.text_kind_mask(bkinds)
@@ -219,10 +258,18 @@ def extract_page(
         if not contained[b]:
             continue
         has_eq[b] = True
+        # rule gate: TextWithEquation route (base_pipeline.py:146-151);
+        # _has_equation is still set first, exactly as the reference
+        # does before its rule lookup, so stage 7 skips the block
+        if not _kind_ruled(cfg, bt.TEXT_WITH_EQUATION):
+            continue
         eqs = contained[b]
         eq_rects = [(bx1[e], by1[e], bx2[e], by2[e]) for e in eqs]
         eq_texts = [texts[src[e]] or "" for e in eqs]
-        eq_rows = {int(src[e]) for e in eqs}
+        if offsets is None:
+            eq_rows = {int(src[e]) for e in eqs}
+        else:
+            eq_rows = {int(offsets[src[e]]) for e in eqs}
         # mask analog: text lines overlapping the block, equations excluded
         block_rect = (bx1[b], by1[b], bx2[b], by2[b])
         line_rects = []
@@ -238,21 +285,31 @@ def extract_page(
             denom = np.minimum(layer_areas, block_area)
             # inter <= denom, so inter > ratio*denom implies denom > 0
             for k in np.nonzero(inter > cfg.gather_ratio * denom)[0]:
-                if layer_idx[k] in eq_rows:
+                key = (
+                    layer_idx[k] if offsets is None
+                    else int(offsets[layer_idx[k]])
+                )
+                if key in eq_rows:
                     continue
                 line_rects.append(tuple(layer_rects[k]))
         block_text[b] = compose_text_with_equations(
             eq_rects, eq_texts, line_rects, recognize
         )
 
-    # stage 6: table OCR (own span text)
-    for b in range(m):
-        if bkinds[b] == bt.TABLE:
-            block_text[b] = texts[src[b]]
+    # stage 6: table OCR (own span text); rule-gated per preset
+    if _kind_ruled(cfg, bt.TABLE):
+        for b in range(m):
+            if bkinds[b] == bt.TABLE:
+                block_text[b] = texts[src[b]]
 
     # stage 7: text OCR via gather — all plain text blocks of the page
-    # in one vectorized intersection matrix
-    plain = [b for b in range(m) if text_mask[b] and not has_eq[b]]
+    # in one vectorized intersection matrix; rule gate is PER KIND
+    # (base_pipeline.py:180-184 looks up block.kind: report/book rule
+    # only title/text/caption, so header/footer/reference stay textless)
+    plain = [
+        b for b in range(m)
+        if text_mask[b] and not has_eq[b] and _kind_ruled(cfg, int(bkinds[b]))
+    ]
     gathered = gather_text_batch(
         bx1[plain], by1[plain], bx2[plain], by2[plain],
         layer_rects, layer_areas, layer_texts, cfg.gather_ratio,
@@ -290,6 +347,135 @@ def extract_page(
             out.append((name, "\n$$\n" + text + "\n$$\n", None))
         else:
             out.append((name, text, None))
+    return out
+
+
+# Kinds the dual-source path arbitrates (pdf2txt.py:68: Text, Title,
+# Caption — every other block keeps no text and is not emitted).
+ARBITRATE_KINDS = frozenset({bt.TEXT, bt.TITLE, bt.CAPTION})
+
+
+def extract_page_dual(
+    x1: np.ndarray,
+    y1: np.ndarray,
+    x2: np.ndarray,
+    y2: np.ndarray,
+    conf: np.ndarray,
+    labels: Sequence[str],
+    ocr_texts: Sequence[Optional[str]],
+    lx1: np.ndarray,
+    ly1: np.ndarray,
+    lx2: np.ndarray,
+    ly2: np.ndarray,
+    texts: Sequence[Optional[str]],
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> List[Span]:
+    """Dual-source (E2) page pipeline: the reference's ``pdf2txt.py``
+    arbitration variant (get_page_text, pdf2txt.py:52-100).
+
+    Each row carries a detection bbox in RENDER coords (x1..y2; the
+    rendered page image, scale ``cfg.render_scale``, y down) plus its
+    native text-layer rect in PDF coords (lx1..ly2; y up from the
+    bottom-left) and text.  ``ocr_texts`` is the OCR-model output for
+    the row's region (the pluggable model call of the reference).
+
+    Stages (reference cites):
+      1. confidence filter + classify + overlap merge — inside
+         model.detect (ultralytics_layout_model.py:81-87)
+      2. for Text/Title/Caption blocks only (pdf2txt.py:68):
+         C7 coordinate flip+descale of the detection bbox
+         (pdf2txt.py:71), PDF-text gather over the text layer
+         (get_text_by_bbox, pdf2txt.py:29-49), levenshtein arbitration
+         ``dis/max(len) < 0.2 -> pdf text else ocr text``
+         (pdf2txt.py:81-88), unconditional CJK cross-ref filters
+         (pdf2txt.py:89-92)
+      3. xy-cut reflow over all blocks (pdf2txt.py:93-94)
+      4. emit blocks with text, in reading order (pdf2txt.py:100)
+    """
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    conf = np.asarray(conf, dtype=np.float64)
+    n = len(x1)
+
+    # PDF text layer (textpage rects): rows with native text
+    layer_idx = [i for i in range(n) if texts[i] is not None]
+    if layer_idx:
+        layer_rects = np.stack(
+            [
+                np.asarray(lx1, dtype=np.float64)[layer_idx],
+                np.asarray(ly1, dtype=np.float64)[layer_idx],
+                np.asarray(lx2, dtype=np.float64)[layer_idx],
+                np.asarray(ly2, dtype=np.float64)[layer_idx],
+            ],
+            axis=1,
+        )
+        # Rectangle constructor clamp (shape.py:74-77)
+        layer_rects[:, 2] = np.maximum(layer_rects[:, 2], layer_rects[:, 0])
+        layer_rects[:, 3] = np.maximum(layer_rects[:, 3], layer_rects[:, 1])
+        layer_areas = (layer_rects[:, 2] - layer_rects[:, 0]) * (
+            layer_rects[:, 3] - layer_rects[:, 1]
+        )
+    else:
+        layer_rects = np.empty((0, 4))
+        layer_areas = np.empty(0)
+    layer_texts = [texts[i] for i in layer_idx]
+
+    # stage 1: detect = conf filter + classify + overlap merge
+    det = np.nonzero(conf > cfg.conf_threshold)[0]
+    kinds = bt.kinds_from_labels([labels[i] for i in det])
+    keep, bx1, by1, bx2, by2, bkinds = overlap_merge(
+        x1[det], y1[det], x2[det], y2[det],
+        kinds, bt.TEXT_KIND_LOOKUP,
+        area_threshold=cfg.area_threshold,
+        strategy=cfg.merge_strategy,
+    )
+    src = det[keep]
+    m = len(src)
+    block_text: List[Optional[str]] = [None] * m
+
+    # stage 2: per-block arbitration
+    from .textdist import relative_distance
+
+    rs = cfg.render_scale
+    H = cfg.page_height
+    arb = [b for b in range(m) if bkinds[b] in ARBITRATE_KINDS]
+    # C7: render coords -> PDF coords (pdf2txt.py:71: x/rs, H - y/rs
+    # with y1/y2 swapping roles under the flip)
+    pdf_texts = gather_text_batch(
+        bx1[arb] / rs,
+        H - by2[arb] / rs,
+        bx2[arb] / rs,
+        H - by1[arb] / rs,
+        layer_rects, layer_areas, layer_texts, cfg.gather_ratio,
+    )
+    for b, pdf_text in zip(arb, pdf_texts):
+        ocr = ocr_texts[src[b]] or ""
+        if relative_distance(ocr, pdf_text) < cfg.arbitrate_threshold:
+            text = pdf_text
+        else:
+            text = ocr
+        # CJK cross-ref filters, unconditional here (pdf2txt.py:89-92)
+        if text.startswith("图") or text.startswith("表"):
+            continue
+        if len(text) < 256 and ("见表" in text or "见图" in text):
+            continue
+        block_text[b] = text
+
+    # stage 3: xy-cut reflow (render coords, defaults: pdf2txt.py:93)
+    order = xy_cut_order(
+        bx1, by1, bx2, by2, margin=cfg.xy_margin, horizontal_first=True,
+        max_depth=cfg.max_depth,
+    )
+
+    # stage 4: emission — text blocks only (pdf2txt.py:100)
+    out: List[Span] = []
+    for b in order:
+        text = block_text[b]
+        if text is None:
+            continue
+        out.append((bt.KIND_NAMES[int(bkinds[b])], text, None))
     return out
 
 

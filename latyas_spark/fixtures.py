@@ -83,9 +83,54 @@ LABELS_BY_KIND: Dict[str, List[str]] = {
 
 MEDIA_KINDS = {"figure", "icon", "qrcode", "barcode"}
 
+# Dual-source (pdf2txt.py) coordinate constants — must equal the
+# ExtractConfig defaults: detection bboxes are generated in render
+# coords (scale x2, y down); the text-layer rect of each row is its C7
+# image in PDF coords (y up) plus a small deterministic jitter.
+RENDER_SCALE = 2.0
+PAGE_H = 1100.0
+
 
 def doc_seed(doc_id: str) -> int:
     return zlib.crc32(doc_id.encode("utf-8")) & 0xFFFFFFFF
+
+
+def _row_hash(doc_id: str, page: int, idx: int, text: Optional[str]) -> int:
+    """Per-row deterministic hash, independent of the archetype rng
+    stream (adding dual-source fields must not perturb the geometry the
+    round-1 goldens pin)."""
+    return zlib.crc32(f"{doc_id}|{page}|{idx}|{text or ''}".encode("utf-8"))
+
+
+def _ocr_text_for(text: Optional[str], h: int) -> Optional[str]:
+    """OCR-model output stand-in: mostly near-faithful (1-char
+    substitution — arbitration keeps the native text layer), sometimes
+    badly garbled (reversed — relative distance >= 0.2, arbitration
+    trusts OCR, pdf2txt.py:84-88 semantics)."""
+    if text is None:
+        return None
+    if h % 5 == 0:
+        return text[::-1]
+    p = h % len(text)
+    sub = chr(97 + (h >> 6) % 26)
+    return text[:p] + sub + text[p + 1:]
+
+
+def _layer_rect_for(
+    x1: float, y1: float, x2: float, y2: float, h: int
+) -> tuple:
+    """Text-layer rect in PDF coords: the C7 inverse of the detection
+    bbox (x/rs, PAGE_H - y/rs with y1/y2 swapping under the flip) plus
+    a +-2px deterministic jitter, so a kernel that forgets the flip or
+    the descale gathers nothing."""
+    jx = (h % 5) - 2.0
+    jy = ((h >> 3) % 5) - 2.0
+    return (
+        x1 / RENDER_SCALE + jx,
+        PAGE_H - y2 / RENDER_SCALE + jy,
+        x2 / RENDER_SCALE + jx,
+        PAGE_H - y1 / RENDER_SCALE + jy,
+    )
 
 
 def _sentence(rng: np.random.RandomState, lo=4, hi=12) -> str:
@@ -129,6 +174,10 @@ class _PageBuilder:
             text = None
         elif text is None:
             text = _sentence(rng)
+        h = _row_hash(self.doc_id, self.page, len(self.rows), text)
+        lx1, ly1, lx2, ly2 = _layer_rect_for(
+            float(x1), float(y1), float(x2), float(y2), h
+        )
         row = {
             "doc_id": self.doc_id,
             "page": self.page,
@@ -142,6 +191,11 @@ class _PageBuilder:
             "kind": kind,
             "text": text,
             "media_ref": media_ref,
+            "ocr_text": _ocr_text_for(text, h),
+            "lx1": lx1,
+            "ly1": ly1,
+            "lx2": lx2,
+            "ly2": ly2,
         }
         self.rows.append(row)
         return row
@@ -282,6 +336,38 @@ def doc_rows(doc_id: str, mega: bool = False) -> List[dict]:
     return rows
 
 
+def detector2_rows(rows: List[dict]) -> List[dict]:
+    """Second-detector sidecar derived from the primary detections (U1,
+    paper pipeline runs 2 detectors, paper_pipeline.py:21-33): the same
+    spans re-detected with jittered bboxes, re-drawn confidences and
+    label variants, with ~10% misses.  The jitter keeps >0.5 mutual
+    overlap with the primary detection, so the J1 merge sweep dedups
+    the cross-detector pairs (union -> merge, layout.py:67-68 + :112).
+    Keys (doc_id, offset) are unchanged — both detectors join to the
+    same spans."""
+    out: List[dict] = []
+    for r in rows:
+        h = zlib.crc32(
+            f"det2|{r['doc_id']}|{r['page']}|{r['offset']}".encode("utf-8")
+        )
+        if h % 10 == 0:
+            continue  # detector 2 missed this region
+        jx = float((h % 9) - 4)
+        jy = float(((h >> 4) % 9) - 4)
+        r2 = dict(r)
+        r2["x1"] = r["x1"] + jx
+        r2["x2"] = r["x2"] + jx
+        r2["y1"] = r["y1"] + jy
+        r2["y2"] = r["y2"] + jy
+        r2["conf"] = round(
+            min(0.99, max(0.05, r["conf"] + (((h >> 8) % 21) - 10) / 100.0)), 3
+        )
+        variants = LABELS_BY_KIND[r["kind"]]
+        r2["label"] = variants[(h >> 2) % len(variants)]
+        out.append(r2)
+    return out
+
+
 def corpus_rows(n_docs: int, mega_every: int = 97, prefix: str = "doc") -> List[dict]:
     rows: List[dict] = []
     for i in range(n_docs):
@@ -305,7 +391,8 @@ def write_corpus_spark(
     blocks_schema = (
         "doc_id string, offset int, page int, x1 double, y1 double, "
         "x2 double, y2 double, conf double, label string, "
-        "kind string, text string, media_ref string"
+        "kind string, text string, media_ref string, "
+        "ocr_text string, lx1 double, ly1 double, lx2 double, ly2 double"
     )
 
     def gen(batches):
@@ -320,6 +407,7 @@ def write_corpus_spark(
                 columns=[
                     "doc_id", "offset", "page", "x1", "y1", "x2", "y2",
                     "conf", "label", "kind", "text", "media_ref",
+                    "ocr_text", "lx1", "ly1", "lx2", "ly2",
                 ],
             )
 
@@ -327,7 +415,8 @@ def write_corpus_spark(
     flat = ids.mapInPandas(gen, schema=blocks_schema)
     flat.cache()
     flat.select(
-        "doc_id", "offset", "page", "x1", "y1", "x2", "y2", "conf", "label"
+        "doc_id", "offset", "page", "x1", "y1", "x2", "y2", "conf", "label",
+        "ocr_text", "lx1", "ly1", "lx2", "ly2",
     ).write.mode("overwrite").parquet(f"{out_dir}/layout_blocks.parquet")
     (
         flat.groupBy("doc_id")
@@ -397,19 +486,34 @@ def write_corpus(out_dir: str, n_docs: int, mega_every: int = 97) -> dict:
     doc_path = os.path.join(out_dir, "documents.parquet")
     pq.write_table(documents, doc_path)
 
-    blocks = pa.table(
-        {
-            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
-            "offset": pa.array([r["offset"] for r in rows], pa.int32()),
-            "page": pa.array([r["page"] for r in rows], pa.int32()),
-            "x1": pa.array([r["x1"] for r in rows], pa.float64()),
-            "y1": pa.array([r["y1"] for r in rows], pa.float64()),
-            "x2": pa.array([r["x2"] for r in rows], pa.float64()),
-            "y2": pa.array([r["y2"] for r in rows], pa.float64()),
-            "conf": pa.array([r["conf"] for r in rows], pa.float64()),
-            "label": pa.array([r["label"] for r in rows], pa.string()),
-        }
-    )
+    def _blocks_table(rws):
+        return pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rws], pa.string()),
+                "offset": pa.array([r["offset"] for r in rws], pa.int32()),
+                "page": pa.array([r["page"] for r in rws], pa.int32()),
+                "x1": pa.array([r["x1"] for r in rws], pa.float64()),
+                "y1": pa.array([r["y1"] for r in rws], pa.float64()),
+                "x2": pa.array([r["x2"] for r in rws], pa.float64()),
+                "y2": pa.array([r["y2"] for r in rws], pa.float64()),
+                "conf": pa.array([r["conf"] for r in rws], pa.float64()),
+                "label": pa.array([r["label"] for r in rws], pa.string()),
+                "ocr_text": pa.array([r["ocr_text"] for r in rws], pa.string()),
+                "lx1": pa.array([r["lx1"] for r in rws], pa.float64()),
+                "ly1": pa.array([r["ly1"] for r in rws], pa.float64()),
+                "lx2": pa.array([r["lx2"] for r in rws], pa.float64()),
+                "ly2": pa.array([r["ly2"] for r in rws], pa.float64()),
+            }
+        )
+
     blocks_path = os.path.join(out_dir, "layout_blocks.parquet")
-    pq.write_table(blocks, blocks_path)
-    return {"documents": doc_path, "layout_blocks": blocks_path, "n_rows": len(rows)}
+    pq.write_table(_blocks_table(rows), blocks_path)
+    # second-detector sidecar (U1 multi-detector flagship tests)
+    blocks2_path = os.path.join(out_dir, "layout_blocks2.parquet")
+    pq.write_table(_blocks_table(detector2_rows(rows)), blocks2_path)
+    return {
+        "documents": doc_path,
+        "layout_blocks": blocks_path,
+        "layout_blocks2": blocks2_path,
+        "n_rows": len(rows),
+    }

@@ -247,15 +247,146 @@ def _compose_mixed(
     return " ".join(snippets[i][1] or "" for i in final)
 
 
+def _edit_distance(a: str, b: str) -> int:
+    """Unit-cost edit distance (text_utils.py:1-18 semantics), written
+    as a classic two-row Wagner-Fischer sweep — deliberately a
+    different shape from core/textdist.py's vectorized scan so the
+    golden tests cross-check the two."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        row = [i]
+        for j, cb in enumerate(b, start=1):
+            row.append(
+                min(prev[j] + 1, row[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = row
+    return prev[-1]
+
+
+def extract_page_dual_oracle(
+    rows: List[dict], cfg: ExtractConfig = DEFAULT_CONFIG
+) -> List[Span]:
+    """Dual-source (pdf2txt.py:52-100) page variant: detection bboxes
+    in render coords, text layer in PDF coords (row keys lx1..ly2),
+    OCR output in row key ``ocr_text``.  Mirrors get_page_text stage by
+    stage; the one shared crash-guard deviation: both sources empty
+    divides 0/0 in the reference — treated as distance 0 (prefer pdf).
+    """
+    layer = [
+        (ORect(r["lx1"], r["ly1"], r["lx2"], r["ly2"]), r["text"])
+        for r in rows
+        if r["text"] is not None
+    ]
+
+    blocks: List[OBlock] = []
+    for r in rows:
+        if r["conf"] > cfg.conf_threshold:
+            blk = OBlock(
+                ORect(r["x1"], r["y1"], r["x2"], r["y2"]),
+                kind_from_label(r["label"]),
+                r["text"],
+                r["media_ref"],
+                r["offset"],
+            )
+            blk.ocr_text = r.get("ocr_text")
+            blocks.append(blk)
+
+    # overlap merge sweep (inside model.detect,
+    # ultralytics_layout_model.py:87 -> layout.py:86-132)
+    dropped: set = set()
+    for i in range(len(blocks)):
+        if i in dropped:
+            continue
+        for j in range(i + 1, len(blocks)):
+            a, b = blocks[i], blocks[j]
+            if a.kind != b.kind and not (
+                a.kind in TEXT_KINDS and b.kind in TEXT_KINDS
+            ):
+                continue
+            inter = a.rect.meet(b.rect).area
+            if not (
+                inter > cfg.area_threshold * a.rect.area
+                or inter > cfg.area_threshold * b.rect.area
+            ):
+                continue
+            dropped.add(i)
+            if a.kind > b.kind:
+                b.kind = a.kind
+            b.rect = a.rect.join(b.rect)
+    blocks = [blk for i, blk in enumerate(blocks) if i not in dropped]
+
+    # arbitration for Text/Title/Caption (pdf2txt.py:68-92)
+    from ..core.blocktypes import CAPTION, TEXT, TITLE
+
+    rs = cfg.render_scale
+    H = cfg.page_height
+    for blk in blocks:
+        if blk.kind not in (TEXT, TITLE, CAPTION):
+            continue
+        q = ORect(
+            blk.rect.x1 / rs,
+            H - blk.rect.y2 / rs,
+            blk.rect.x2 / rs,
+            H - blk.rect.y1 / rs,
+        )
+        pdf_text = _gather(q, layer, cfg.gather_ratio)
+        ocr = getattr(blk, "ocr_text", None) or ""
+        m = max(len(ocr), len(pdf_text))
+        dis_percent = (_edit_distance(ocr, pdf_text) / m) if m else 0.0
+        text = pdf_text if dis_percent < cfg.arbitrate_threshold else ocr
+        if text.startswith("图") or text.startswith("表"):
+            continue
+        if len(text) < 256 and ("见表" in text or "见图" in text):
+            continue
+        blk.text = text
+
+    order = reading_order(
+        [blk.rect for blk in blocks], margin=cfg.xy_margin,
+        max_depth=cfg.max_depth,
+    )
+    out: List[Span] = []
+    for i in order:
+        blk = blocks[i]
+        if blk.text is None:
+            continue
+        out.append((KIND_NAMES[blk.kind], blk.text, None))
+    return out
+
+
+def extract_document_dual_oracle(
+    rows: List[dict], cfg: ExtractConfig = DEFAULT_CONFIG
+) -> List[Tuple[str, Optional[str], Optional[str], int]]:
+    """Per-page dual-source extraction with doc-wide order (the E2
+    analog of extract_document_oracle)."""
+    pages = sorted({r["page"] for r in rows})
+    out = []
+    pos = 0
+    for p in pages:
+        page_rows = sorted(
+            (r for r in rows if r["page"] == p), key=lambda r: r["offset"]
+        )
+        for kind, text, media in extract_page_dual_oracle(page_rows, cfg):
+            out.append((kind, text, media, pos))
+            pos += 1
+    return out
+
+
 def extract_page_oracle(
     rows: List[dict], cfg: ExtractConfig = DEFAULT_CONFIG
 ) -> List[Span]:
     """rows: dicts with x1,y1,x2,y2,conf,label,text,media_ref,offset
-    in span-offset order.  Returns emitted (kind, text, media_ref)."""
+    in span-offset order (multi-detector: detector-major (det, offset)
+    order, mirroring Layout.merge).  Returns emitted
+    (kind, text, media_ref).  The text layer is detector 0's rows only
+    — the page's text layer is not a detector artifact."""
     layer = [
         (ORect(r["x1"], r["y1"], r["x2"], r["y2"]), r["text"], r["offset"])
         for r in rows
-        if r["text"] is not None
+        if r["text"] is not None and r.get("det", 0) == 0
     ]
     plain_layer = [(rect, txt) for rect, txt, _ in layer]
 
@@ -293,10 +424,18 @@ def extract_page_oracle(
             b.rect = a.rect.join(b.rect)
     blocks = [blk for i, blk in enumerate(blocks) if i not in dropped]
 
+    # preset rule gate (base_pipeline.py:115-186 looks up each block's
+    # kind; see ExtractConfig.ruled_kinds for the non-raising semantics)
+    def ruled(kind: int) -> bool:
+        return cfg.ruled_kinds is None or kind in cfg.ruled_kinds
+
+    from ..core.blocktypes import TEXT_WITH_EQUATION
+
     # equation OCR
-    for blk in blocks:
-        if blk.kind == EQUATION:
-            blk.text = blk.native_text
+    if ruled(EQUATION):
+        for blk in blocks:
+            if blk.kind == EQUATION:
+                blk.text = blk.native_text
 
     # containment + texmix compose
     for blk in blocks:
@@ -310,18 +449,21 @@ def extract_page_oracle(
         if not inside:
             continue
         blk.has_equation = True
+        if not ruled(TEXT_WITH_EQUATION):
+            continue
         blk.text = _compose_mixed(
             blk, inside, layer, {e.src_offset for e in inside}, cfg.gather_ratio
         )
 
     # table OCR
-    for blk in blocks:
-        if blk.kind == TABLE:
-            blk.text = blk.native_text
+    if ruled(TABLE):
+        for blk in blocks:
+            if blk.kind == TABLE:
+                blk.text = blk.native_text
 
     # text OCR via gather (+ optional CJK filters)
     for blk in blocks:
-        if blk.kind not in TEXT_KINDS or blk.has_equation:
+        if blk.kind not in TEXT_KINDS or blk.has_equation or not ruled(blk.kind):
             continue
         text = _gather(blk.rect, plain_layer, cfg.gather_ratio)
         if cfg.cjk_filters:
@@ -362,7 +504,8 @@ def extract_document_oracle(
     pos = 0
     for p in pages:
         page_rows = sorted(
-            (r for r in rows if r["page"] == p), key=lambda r: r["offset"]
+            (r for r in rows if r["page"] == p),
+            key=lambda r: (r.get("det", 0), r["offset"]),
         )
         for kind, text, media in extract_page_oracle(page_rows, cfg):
             out.append((kind, text, media, pos))

@@ -54,7 +54,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..core.document import DEFAULT_CONFIG, ExtractConfig, extract_page
+from ..core.document import (
+    DEFAULT_CONFIG,
+    ExtractConfig,
+    extract_page,
+    extract_page_dual,
+)
 
 # Columns the page kernel consumes.
 KERNEL_COLS = [
@@ -62,6 +67,10 @@ KERNEL_COLS = [
     "x1", "y1", "x2", "y2",
     "conf", "label", "text", "media_ref",
 ]
+
+# Extra columns of the dual-source (pdf2txt.py) kernel: per-row OCR
+# output and the row's text-layer rect in PDF coords (C7 source space).
+DUAL_EXTRA_COLS = ["ocr_text", "lx1", "ly1", "lx2", "ly2"]
 
 DOC_OUT_SCHEMA = (
     "doc_id string, `order` int, kind string, text string, media_ref string"
@@ -77,14 +86,18 @@ MEGA_THRESHOLD = 5000
 
 class _Cols:
     """Column arrays of one kernel chunk (extracted once; all further
-    slicing is zero-copy NumPy views, no pandas in the hot loop)."""
+    slicing is zero-copy NumPy views, no pandas in the hot loop).
+    Optional columns (multi-detector ``det``, dual-source ocr/layer
+    cols) are extracted only when present in the frame."""
 
-    __slots__ = ("doc_id", "page", "x1", "y1", "x2", "y2", "conf",
-                 "label", "text", "media_ref", "n")
+    __slots__ = ("doc_id", "page", "offset", "x1", "y1", "x2", "y2",
+                 "conf", "label", "text", "media_ref", "n", "det",
+                 "ocr_text", "lx1", "ly1", "lx2", "ly2")
 
     def __init__(self, pdf: pd.DataFrame):
         self.doc_id = pdf["doc_id"].to_numpy()
         self.page = pdf["page"].to_numpy()
+        self.offset = pdf["offset"].to_numpy(dtype=np.int64)
         self.x1 = pdf["x1"].to_numpy(dtype=np.float64)
         self.y1 = pdf["y1"].to_numpy(dtype=np.float64)
         self.x2 = pdf["x2"].to_numpy(dtype=np.float64)
@@ -95,6 +108,18 @@ class _Cols:
         # nulls; a fully-null column can arrive as float NaN — normalize
         self.text = _clean_obj(pdf["text"])
         self.media_ref = _clean_obj(pdf["media_ref"])
+        self.det = (
+            pdf["det"].to_numpy(dtype=np.int64) if "det" in pdf.columns else None
+        )
+        self.ocr_text = (
+            _clean_obj(pdf["ocr_text"]) if "ocr_text" in pdf.columns else None
+        )
+        for c in ("lx1", "ly1", "lx2", "ly2"):
+            setattr(
+                self,
+                c,
+                pdf[c].to_numpy(dtype=np.float64) if c in pdf.columns else None,
+            )
         self.n = len(self.doc_id)
 
 
@@ -106,26 +131,51 @@ def _clean_obj(col: pd.Series) -> np.ndarray:
     return arr
 
 
-def _run_pages(cols: _Cols, s: int, e: int, cfg: ExtractConfig):
-    """Run extract_page per page of rows [s:e) of one doc (sorted by
-    (page, offset)); yields (page, spans)."""
+def _page_e1(cols: _Cols, ps: int, pe: int, cfg: ExtractConfig):
+    """Flagship (E1, analyze_pdf) page call over one page slice."""
+    return extract_page(
+        cols.x1[ps:pe],
+        cols.y1[ps:pe],
+        cols.x2[ps:pe],
+        cols.y2[ps:pe],
+        cols.conf[ps:pe],
+        cols.label[ps:pe],
+        cols.text[ps:pe],
+        cols.media_ref[ps:pe],
+        cfg,
+        det=None if cols.det is None else cols.det[ps:pe],
+        offsets=cols.offset[ps:pe],
+    )
+
+
+def _page_dual(cols: _Cols, ps: int, pe: int, cfg: ExtractConfig):
+    """Dual-source (E2, pdf2txt.py) page call over one page slice."""
+    return extract_page_dual(
+        cols.x1[ps:pe],
+        cols.y1[ps:pe],
+        cols.x2[ps:pe],
+        cols.y2[ps:pe],
+        cols.conf[ps:pe],
+        cols.label[ps:pe],
+        cols.ocr_text[ps:pe],
+        cols.lx1[ps:pe],
+        cols.ly1[ps:pe],
+        cols.lx2[ps:pe],
+        cols.ly2[ps:pe],
+        cols.text[ps:pe],
+        cfg,
+    )
+
+
+def _run_pages(cols: _Cols, s: int, e: int, cfg: ExtractConfig, page_fn=_page_e1):
+    """Run page_fn per page of rows [s:e) of one doc (sorted by
+    (page, ...)); yields (page, spans)."""
     pages = cols.page[s:e]
     bounds = np.flatnonzero(pages[1:] != pages[:-1]) + 1 + s
     starts = np.concatenate(([s], bounds))
     ends = np.concatenate((bounds, [e]))
     for ps, pe in zip(starts, ends):
-        spans = extract_page(
-            cols.x1[ps:pe],
-            cols.y1[ps:pe],
-            cols.x2[ps:pe],
-            cols.y2[ps:pe],
-            cols.conf[ps:pe],
-            cols.label[ps:pe],
-            cols.text[ps:pe],
-            cols.media_ref[ps:pe],
-            cfg,
-        )
-        yield int(cols.page[ps]), spans
+        yield int(cols.page[ps]), page_fn(cols, ps, pe, cfg)
 
 
 def _sorted_partition_chunks(
@@ -154,13 +204,12 @@ def _sorted_partition_chunks(
     yield pdf
 
 
-def _doc_mode_kernel(cfg: ExtractConfig):
+def _doc_mode_kernel(cfg: ExtractConfig, page_fn=_page_e1,
+                     sort_cols=("doc_id", "page", "offset")):
     """mapInPandas fn: whole docs per chunk, doc-wide order in-kernel."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for chunk in _sorted_partition_chunks(
-            batches, ["doc_id", "page", "offset"]
-        ):
+        for chunk in _sorted_partition_chunks(batches, list(sort_cols)):
             cols = _Cols(chunk)
             out_doc, out_order, out_kind, out_text, out_media = [], [], [], [], []
             ids = cols.doc_id
@@ -171,7 +220,7 @@ def _doc_mode_kernel(cfg: ExtractConfig):
             for s, e in zip(starts, ends):
                 doc_id = ids[s]
                 pos = 0
-                for _page, spans in _run_pages(cols, s, e, cfg):
+                for _page, spans in _run_pages(cols, s, e, cfg, page_fn):
                     for kind, text, media in spans:
                         out_doc.append(doc_id)
                         out_order.append(pos)
@@ -192,13 +241,12 @@ def _doc_mode_kernel(cfg: ExtractConfig):
     return run
 
 
-def _page_mode_kernel(cfg: ExtractConfig):
+def _page_mode_kernel(cfg: ExtractConfig, page_fn=_page_e1,
+                      sort_cols=("doc_id", "page", "offset")):
     """mapInPandas fn for the mega-doc path: emits page-local order."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for chunk in _sorted_partition_chunks(
-            batches, ["doc_id", "page", "offset"]
-        ):
+        for chunk in _sorted_partition_chunks(batches, list(sort_cols)):
             cols = _Cols(chunk)
             out = {k: [] for k in
                    ("doc_id", "page", "page_pos", "kind", "text", "media_ref")}
@@ -206,7 +254,7 @@ def _page_mode_kernel(cfg: ExtractConfig):
             starts = np.concatenate(([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
             ends = np.concatenate((starts[1:], [len(ids)]))
             for s, e in zip(starts, ends):
-                for page, spans in _run_pages(cols, s, e, cfg):
+                for page, spans in _run_pages(cols, s, e, cfg, page_fn):
                     for pos, (kind, text, media) in enumerate(spans):
                         out["doc_id"].append(ids[s])
                         out["page"].append(page)
@@ -258,8 +306,31 @@ def _kernel_partitions(df: DataFrame) -> int:
     return max(base, spark.sparkContext.defaultParallelism * 4)
 
 
+# Above this many mega doc ids, routing switches from a driver-side
+# IN-list (pushed into both scans) to a broadcast semi/anti join: a fat
+# skew tail would otherwise bloat the plan with a huge literal list.
+MAX_MEGA_INLIST = 10_000
+
+
+def _mode_parts(pruned: DataFrame, dual: bool):
+    """(page_fn, sort_cols) for the kernel given the frame's columns.
+
+    Multi-detector frames carry a ``det`` column; rows must then sort
+    detector-major within a page (Layout.merge appends detector 2's
+    blocks after detector 1's, base_pipeline.py:104-111) with offset as
+    the in-detector order — a total, deterministic key either way.
+    """
+    page_fn = _page_dual if dual else _page_e1
+    if "det" in pruned.columns:
+        return page_fn, ("doc_id", "page", "det", "offset")
+    return page_fn, ("doc_id", "page", "offset")
+
+
 def _extract_doc_path(
-    pruned: DataFrame, cfg: ExtractConfig, pre_partitioned: bool = False
+    pruned: DataFrame,
+    cfg: ExtractConfig,
+    pre_partitioned: bool = False,
+    dual: bool = False,
 ) -> DataFrame:
     """Doc-grouped kernel.  ``pre_partitioned=True`` promises the input
     is already hash(doc_id)-clustered (e.g. the output of a join whose
@@ -269,20 +340,54 @@ def _extract_doc_path(
         shaped = pruned
     else:
         shaped = pruned.repartition(_kernel_partitions(pruned), "doc_id")
-    return shaped.mapInPandas(_doc_mode_kernel(cfg), schema=DOC_OUT_SCHEMA)
+    page_fn, sort_cols = _mode_parts(pruned, dual)
+    return shaped.mapInPandas(
+        _doc_mode_kernel(cfg, page_fn, sort_cols), schema=DOC_OUT_SCHEMA
+    )
 
 
-def _extract_page_path(pruned: DataFrame, cfg: ExtractConfig) -> DataFrame:
+def _extract_page_path(
+    pruned: DataFrame, cfg: ExtractConfig, dual: bool = False
+) -> DataFrame:
+    """Mega-doc path: page-salted kernel, then a distributed two-level
+    doc-wide ordering.
+
+    The naive ordering (row_number over partitionBy(doc_id)) would pull
+    every output span of a mega doc through one task.  Instead the
+    doc-wide order is ``page_base + page_pos`` where page_base is the
+    exclusive running sum of per-page span counts: the window that
+    computes it runs over PAGE-level rows (one per (doc, page) — a few
+    hundred for a mega doc), and the join that applies it distributes
+    on (doc_id, page).  No task ever holds more than one page of one
+    doc.  The kernel output is localCheckpoint'ed (lazy) because both
+    the count branch and the join branch consume it — without that the
+    kernel would run twice.
+    """
     # salt = page: mega docs spread across partitions by (doc_id, page)
     shaped = pruned.repartition(_kernel_partitions(pruned), "doc_id", "page")
-    pages = shaped.mapInPandas(_page_mode_kernel(cfg), schema=PAGE_OUT_SCHEMA)
-    w = Window.partitionBy("doc_id").orderBy("page", "page_pos")
-    return pages.select(
+    page_fn, sort_cols = _mode_parts(pruned, dual)
+    pages = shaped.mapInPandas(
+        _page_mode_kernel(cfg, page_fn, sort_cols), schema=PAGE_OUT_SCHEMA
+    )
+    pages = pages.localCheckpoint(eager=False)
+    pcounts = pages.groupBy("doc_id", "page").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    wp = Window.partitionBy("doc_id").orderBy("page")
+    bases = pcounts.select(
         "doc_id",
-        (F.row_number().over(w) - F.lit(1)).cast("int").alias("order"),
-        "kind",
-        "text",
-        "media_ref",
+        "page",
+        (F.sum("n_spans").over(wp) - F.col("n_spans")).alias("page_base"),
+    )
+    return (
+        pages.join(bases, ["doc_id", "page"])
+        .select(
+            "doc_id",
+            (F.col("page_base") + F.col("page_pos")).cast("int").alias("order"),
+            "kind",
+            "text",
+            "media_ref",
+        )
     )
 
 
@@ -292,8 +397,12 @@ def extract_spans_flat(
     mega_threshold: int = MEGA_THRESHOLD,
     mega_ids: Optional[Sequence[str]] = None,
     pre_partitioned: bool = False,
+    mega_ids_df: Optional[DataFrame] = None,
+    dual: bool = False,
 ) -> DataFrame:
-    """Extraction over an already-joined flat frame with KERNEL_COLS.
+    """Extraction over an already-joined flat frame with KERNEL_COLS
+    (plus ``det`` for multi-detector input, plus DUAL_EXTRA_COLS when
+    ``dual=True``).
 
     Returns span rows (doc_id, order, kind, text, media_ref).  Docs
     with >= mega_threshold spans are routed to the page-salted path;
@@ -303,64 +412,99 @@ def extract_spans_flat(
     or ``mega_threshold<0`` to force the doc path.
     ``pre_partitioned`` promises the frame is hash(doc_id)-clustered
     already, letting the normal-doc kernel skip its exchange.
+    ``mega_ids_df`` (single ``doc_id`` column) routes via broadcast
+    semi/anti joins instead of an IN-list — the fat-skew-tail fallback.
     """
-    pruned = joined.select(*KERNEL_COLS)
+    cols = list(KERNEL_COLS)
+    if "det" in joined.columns:
+        cols.append("det")
+    if dual:
+        cols += DUAL_EXTRA_COLS
+    pruned = joined.select(*cols)
     if mega_threshold < 0:
-        return _extract_doc_path(pruned, cfg, pre_partitioned)
+        return _extract_doc_path(pruned, cfg, pre_partitioned, dual)
     if mega_threshold == 0:
-        return _extract_page_path(pruned, cfg)
+        return _extract_page_path(pruned, cfg, dual)
 
-    if mega_ids is None:
+    if mega_ids is None and mega_ids_df is None:
         counts = pruned.groupBy("doc_id").count()
-        mega_ids = [
-            r["doc_id"] for r in counts.filter(F.col("count") >= mega_threshold)
-            .select("doc_id").collect()
-        ]
+        big = counts.filter(F.col("count") >= mega_threshold).select("doc_id")
+        sample = big.limit(MAX_MEGA_INLIST + 1).collect()
+        if len(sample) > MAX_MEGA_INLIST:
+            mega_ids_df = big
+        else:
+            mega_ids = [r["doc_id"] for r in sample]
+
+    if mega_ids_df is not None:
+        normal = pruned.join(F.broadcast(mega_ids_df), "doc_id", "left_anti")
+        mega = pruned.join(F.broadcast(mega_ids_df), "doc_id", "left_semi")
+        return _extract_doc_path(normal, cfg, pre_partitioned, dual).unionByName(
+            _extract_page_path(mega, cfg, dual)
+        )
+
     if not mega_ids:
-        return _extract_doc_path(pruned, cfg, pre_partitioned)
+        return _extract_doc_path(pruned, cfg, pre_partitioned, dual)
 
     normal = pruned.filter(~F.col("doc_id").isin(list(mega_ids)))
     mega = pruned.filter(F.col("doc_id").isin(list(mega_ids)))
-    return _extract_doc_path(normal, cfg, pre_partitioned).unionByName(
-        _extract_page_path(mega, cfg)
+    return _extract_doc_path(normal, cfg, pre_partitioned, dual).unionByName(
+        _extract_page_path(mega, cfg, dual)
     )
 
 
 def extract_spans(
     documents: DataFrame,
-    layout_blocks: DataFrame,
+    layout_blocks,
     cfg: ExtractConfig = DEFAULT_CONFIG,
     mega_threshold: int = MEGA_THRESHOLD,
 ) -> DataFrame:
-    """Flagship: nested documents + geometry sidecar -> ordered spans.
+    """Flagship: nested documents + geometry sidecar(s) -> ordered spans.
 
-    Mega docs are detected for free from ``size(spans)`` on the nested
-    side — a column, not a separate count job, so routing adds zero
-    extra Spark jobs and no driver round-trip.  The (doc_id, offset)
-    equi-join shuffles both sides on the same key; at warehouse scale
-    both tables are bucketed by doc_id so this is a co-located join.
+    ``layout_blocks`` may be one DataFrame or a sequence of them (one
+    per layout detector, U1 / layout.py:67-68: the paper pipeline runs
+    2 detectors, paper_pipeline.py:21-33).  Multiple sidecars union by
+    name with a ``det`` index; the kernel then replays Layout.merge
+    order (detector-major) and the J1 overlap merge dedups the
+    cross-detector duplicates.
 
-    Routing uses a driver-collected mega id list deliberately: the
+    Mega-doc routing uses a driver-collected mega id list: the
     resulting ``doc_id IN (...)`` predicates are pushed by Catalyst
     through the join into BOTH parquet scans (InSet, O(1) probe), so
     each union branch scans and joins only its own documents.  A
     derived-column flag (``size(spans) >= T``) cannot be pushed below
     the join and was measured ~3x slower at 240k docs.  Mega docs are
-    rare by definition (skew tail), so the collected list stays tiny.
+    rare by definition (skew tail), so the collected list stays tiny —
+    but a pathological fat tail (> MAX_MEGA_INLIST ids) would bloat the
+    plan with a huge literal, so routing falls back to a broadcast
+    semi/anti join of the id set past that threshold.
     """
+    if isinstance(layout_blocks, DataFrame):
+        sidecars = [layout_blocks]
+    else:
+        sidecars = list(layout_blocks)
+    if len(sidecars) == 1:
+        sidecar = sidecars[0]
+    else:
+        sidecar = sidecars[0].withColumn("det", F.lit(0).cast("int"))
+        for i, s in enumerate(sidecars[1:], start=1):
+            sidecar = sidecar.unionByName(
+                s.withColumn("det", F.lit(i).cast("int"))
+            )
+
     mega_ids: Optional[list] = None
+    mega_ids_df: Optional[DataFrame] = None
     if mega_threshold > 0:
-        # span count per doc from the flat sidecar: scans only the
-        # doc_id column, map-side-combines, shuffles tiny partial
+        # span count per doc from the PRIMARY flat sidecar: scans only
+        # the doc_id column, map-side-combines, shuffles tiny partial
         # counts — far cheaper than size(spans), which would read the
         # whole nested spans column.
-        counts = layout_blocks.groupBy("doc_id").count()
-        mega_ids = [
-            r["doc_id"]
-            for r in counts.filter(F.col("count") >= mega_threshold)
-            .select("doc_id")
-            .collect()
-        ]
+        counts = sidecars[0].groupBy("doc_id").count()
+        big = counts.filter(F.col("count") >= mega_threshold).select("doc_id")
+        sample = big.limit(MAX_MEGA_INLIST + 1).collect()
+        if len(sample) > MAX_MEGA_INLIST:
+            mega_ids_df = big
+        else:
+            mega_ids = [r["doc_id"] for r in sample]
     # Pre-partition BOTH join inputs by doc_id: HashPartitioning(doc_id)
     # satisfies the join's ClusteredDistribution(doc_id, offset), so the
     # join adds no exchange of its own AND its output stays clustered by
@@ -399,7 +543,7 @@ def extract_spans(
     spans = explode_documents(documents)
     P = _kernel_partitions(spans)
     joined = spans.repartition(P, "doc_id").join(
-        layout_blocks.repartition(P, "doc_id"), ["doc_id", "offset"]
+        sidecar.repartition(P, "doc_id"), ["doc_id", "offset"]
     )
     return extract_spans_flat(
         joined,
@@ -407,6 +551,72 @@ def extract_spans(
         mega_threshold=mega_threshold,
         mega_ids=mega_ids,
         pre_partitioned=subset_ok,
+        mega_ids_df=mega_ids_df,
+    )
+
+
+def extract_spans_preset(
+    documents: DataFrame,
+    layout_blocks,
+    preset,
+    mega_threshold: int = MEGA_THRESHOLD,
+) -> DataFrame:
+    """Flagship under a pipeline preset (paper/report/book): binds the
+    preset's ExtractConfig (rule gate) and asserts the detector count
+    matches the preset's model set (pipeline ctors, SURVEY.md §3)."""
+    from .presets import Preset, get_preset
+
+    if not isinstance(preset, Preset):
+        preset = get_preset(preset)
+    sidecars = (
+        [layout_blocks] if isinstance(layout_blocks, DataFrame)
+        else list(layout_blocks)
+    )
+    if len(sidecars) != preset.n_detectors:
+        raise ValueError(
+            f"preset {preset.name!r} binds {preset.n_detectors} layout "
+            f"detector(s); got {len(sidecars)} sidecar(s)"
+        )
+    return extract_spans(
+        documents, sidecars, cfg=preset.config, mega_threshold=mega_threshold
+    )
+
+
+def extract_spans_dual(
+    documents: DataFrame,
+    layout_blocks: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    mega_threshold: int = MEGA_THRESHOLD,
+) -> DataFrame:
+    """Dual-source (E2, pdf2txt.py) extraction: the sidecar additionally
+    carries the per-row OCR output and the text-layer rect in PDF
+    coords (DUAL_EXTRA_COLS); the kernel arbitrates OCR vs native text
+    per block (levenshtein < 0.2 prefers native) after the C7
+    flip+descale.  Same join/partitioning shape as extract_spans."""
+    spark = documents.sparkSession
+    subset_ok = (
+        spark.conf.get(
+            "spark.sql.requireAllClusterKeysForCoPartition", "true"
+        ).lower()
+        == "false"
+    ) and not (
+        spark.conf.get("spark.sql.adaptive.enabled", "true").lower() == "true"
+        and spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled", "false"
+        ).lower()
+        == "true"
+    )
+    spans = explode_documents(documents)
+    P = _kernel_partitions(spans)
+    joined = spans.repartition(P, "doc_id").join(
+        layout_blocks.repartition(P, "doc_id"), ["doc_id", "offset"]
+    )
+    return extract_spans_flat(
+        joined,
+        cfg,
+        mega_threshold=mega_threshold,
+        pre_partitioned=subset_ok,
+        dual=True,
     )
 
 
