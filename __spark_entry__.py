@@ -39,13 +39,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible queries() entry.
 
-    Three entries are deliberately rows-only (data-dependent recursion
+    Four entries are deliberately rows-only (data-dependent recursion
     or tree/heap sweeps that ANSI SQL cannot express); each is pinned
     by an independent local implementation instead:
 
     * ``flagship_extract`` — xy-cut reading order; golden span-equality
       suite (tests/test_pipeline_spark.py) vs the pure-Python oracle
       port of the reference.
+    * ``dual_extract`` — the pdf2txt.py dual-source variant (same
+      xy-cut recursion); golden suite tests/test_dual_and_presets.py
+      plus a Spark-vs-local equality pin; its SQL-expressible
+      arbitration slice IS oracle-checked as ``dual_arbitrate``.
     * ``boilerplate_cetd`` — CETD DOM-tree density strip;
       tests/test_boilerplate.py Spark-vs-local equality.
     * ``mix_interleave`` — heap split/truncate interleave

@@ -20,7 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "240000"))
+# Corpus sizes chosen so every timed wall is >= ~45s: short walls are
+# overhead-dominated and under-measure scaling (round-1's 11.8s
+# local[32] wall produced a spurious 0.525 for 8->32; at 960k docs the
+# same pipeline measures ~0.94).  The 4->16 pair uses a smaller corpus
+# than 8->32 because local[4] walls grow 4x.
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "480000"))
+BENCH_DOCS_WIDE = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS_WIDE", "960000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
 # Bench-only session conf: shuffle/spill on tmpfs removes disk-writeback
@@ -56,6 +62,10 @@ HEADLINE = [
     "boilerplate_cetd",
     "mix_interleave",
     "ocr_route",
+    "ocr_route_report",
+    "position_rank",
+    "dual_arbitrate",
+    "dual_extract",
     "quality_score",
     "flagship_extract",
 ]
@@ -85,7 +95,7 @@ def _bench_queries(spark) -> dict:
     return out
 
 
-CORPUS_VERSION = 3  # bump when fixtures.py generation changes
+CORPUS_VERSION = 4  # bump when fixtures.py generation changes
 
 
 def _fixture_corpus(n_docs: int) -> str:
@@ -151,7 +161,7 @@ def _single_core_rate() -> float:
     return n / 1.5 / 1e6
 
 
-def _wait_for_quiet(nominal: float = 30.0, attempts: int = 10) -> float:
+def _wait_for_quiet(nominal: float = 26.0, attempts: int = 6) -> float:
     """Scaling runs are meaningless under noisy-neighbor CPU theft (one
     observed episode halved the host: 64 vs ~110 Miter/s at K=4).
     Gate each timed section on single-core throughput reaching
@@ -205,8 +215,13 @@ def _write_report(result: dict) -> None:
         "# BENCH/BASELINE.md — measured numbers (latest bench.py run)",
         "",
         f"- sf dir: `{SF_DIR}`, headline engine: `local[{CPUS}]`",
-        f"- extraction corpus: {BENCH_DOCS} fixture docs "
-        "(crc32-seeded, FIXTURES.md §1-2)",
+        f"- extraction corpora (crc32-seeded, FIXTURES.md §1-2): "
+        f"{BENCH_DOCS} docs for the 4->16 pair, "
+        f"{sc.get('wide_corpus_docs', BENCH_DOCS_WIDE)} docs for the "
+        "8->32 pair — sized so every timed wall is >= ~45s (short walls "
+        "are overhead-dominated and under-measure scaling; round-1's "
+        "11.8s local[32] wall produced a spurious 0.525 for 8->32, the "
+        "identical pipeline at 960k docs measures ~0.94)",
         "",
         "## Extraction throughput — two parallelism levels "
         "(N vs 4N executor stand-in)",
@@ -219,7 +234,12 @@ def _write_report(result: dict) -> None:
     if "efficiency" in sc:
         ceil = sc.get("cpu_ceiling", {})
         if sc.get("rounds"):
-            lines += ["", "All N->4N rounds (best reported above):", ""]
+            lines += [
+                "",
+                "All N->4N rounds (the gate metric is the MEDIAN round; "
+                "the median round's runs are tabled above):",
+                "",
+            ]
             for r in sc["rounds"]:
                 lines.append(
                     f"- round {r['round']}: local[4] {r['wall_local4']}s, "
@@ -228,18 +248,21 @@ def _write_report(result: dict) -> None:
         lines += [
             "",
             f"**Scaling efficiency N->4N (thr_16/thr_4)/4 = "
-            f"{sc['efficiency']}** (required >= 0.8, BASELINE.json)",
+            f"{sc['efficiency']} (median of 3 rounds; best "
+            f"{sc.get('efficiency_best')})** (required >= 0.8, "
+            "BASELINE.json)",
             "",
-            f"Secondary pair 8->32: (thr_32/thr_8)/4 = "
-            f"{sc.get('efficiency_8_32')}.  The 8->32 pair is bounded by "
-            "the VM itself, not the pipeline: aggregate throughput of K "
-            "independent pure-python busy loops (no Spark, no IO) "
-            f"measures {ceil.get('4')}/{ceil.get('8')}/{ceil.get('16')}/"
-            f"{ceil.get('32')} Miter/s at K=4/8/16/32, i.e. an "
-            f"embarrassingly-parallel ceiling of {ceil.get('ceiling_8_32')} "
-            f"for 8->32 vs {ceil.get('ceiling_4_16')} for 4->16 "
-            "(all-core frequency droop).  The 4->16 pair is therefore the "
-            "faithful N-vs-4N stand-in on this host.",
+            f"**Secondary pair 8->32: (thr_32/thr_8)/4 = "
+            f"{sc.get('efficiency_8_32')}** at "
+            f"{sc.get('wide_corpus_docs')} docs.  Same-run platform "
+            "context: aggregate throughput of K independent pure-python "
+            f"busy loops (no Spark, no IO) measures {ceil.get('4')}/"
+            f"{ceil.get('8')}/{ceil.get('16')}/{ceil.get('32')} Miter/s "
+            f"at K=4/8/16/32 (ceilings {ceil.get('ceiling_4_16')} for "
+            f"4->16, {ceil.get('ceiling_8_32')} for 8->32 — all-core "
+            "frequency droop; Spark task mixes are less droop-sensitive "
+            "than pure busy loops, so the pipeline can exceed this "
+            "number).",
         ]
     lines += ["", "## Headline query timings (sec)", ""]
     for k, v in result["queries"].items():
@@ -264,12 +287,12 @@ def main() -> None:
     if not SKIP_SCALING:
         corpus = _fixture_corpus(BENCH_DOCS)
         # The headline N->4N pair is measured as THREE temporally-
-        # adjacent (local[4], local[16]) rounds and the best round is
-        # reported: this host's per-core speed drifts +-30% on minute
-        # scales (recorded ceilings ranged 0.79..1.16 across runs), so
-        # a pair split across a drift boundary under- or over-states
-        # the pipeline.  All rounds and the concurrent compute ceiling
-        # are recorded so a judge can audit the chosen window.
+        # adjacent (local[4], local[16]) rounds; the gate metric is the
+        # MEDIAN round (best-of-N on a noisy metric is upward selection
+        # bias on exactly the gated number — ADVICE r1), with the best
+        # round reported as supplementary.  This host's per-core speed
+        # drifts +-30% on minute scales, so all rounds and the
+        # concurrent compute ceiling are recorded for audit.
         rounds = []
         quiet = {}
         for r in range(3):
@@ -288,31 +311,39 @@ def main() -> None:
                     ),
                 }
             )
-        best = max(rounds, key=lambda r: r["efficiency"])
+        by_eff = sorted(rounds, key=lambda r: r["efficiency"])
+        median = by_eff[len(by_eff) // 2]
+        best = by_eff[-1]
+        # Secondary pair 8->32 on the wide corpus so BOTH walls stay
+        # >= ~45s (amortizing fixed costs; see BENCH_DOCS note above).
+        corpus_wide = _fixture_corpus(BENCH_DOCS_WIDE)
         quiet["secondary"] = _wait_for_quiet()
-        r8 = _run_extraction("local[8]", corpus, BENCH_DOCS, n_timed=1)
-        r32 = _run_extraction("local[32]", corpus, BENCH_DOCS, n_timed=1)
+        r8 = _run_extraction("local[8]", corpus_wide, BENCH_DOCS_WIDE, n_timed=1)
+        r32 = _run_extraction("local[32]", corpus_wide, BENCH_DOCS_WIDE, n_timed=1)
         scaling = {
             "rounds": rounds,
+            "median_round": median["round"],
             "best_round": best["round"],
             "runs": [
-                {"master": "local[4]", "wall_sec": best["wall_local4"],
-                 "docs_per_sec": best["thr_local4"]},
+                {"master": "local[4]", "wall_sec": median["wall_local4"],
+                 "docs_per_sec": median["thr_local4"]},
                 {"master": "local[8]", "wall_sec": r8["wall_sec"],
                  "docs_per_sec": r8["docs_per_sec"]},
-                {"master": "local[16]", "wall_sec": best["wall_local16"],
-                 "docs_per_sec": best["thr_local16"]},
+                {"master": "local[16]", "wall_sec": median["wall_local16"],
+                 "docs_per_sec": median["thr_local16"]},
                 {"master": "local[32]", "wall_sec": r32["wall_sec"],
                  "docs_per_sec": r32["docs_per_sec"]},
             ],
-            "thr_local4": best["thr_local4"],
-            "thr_local16": best["thr_local16"],
+            "thr_local4": median["thr_local4"],
+            "thr_local16": median["thr_local16"],
             "thr_local8": r8["docs_per_sec"],
             "thr_local32": r32["docs_per_sec"],
-            "efficiency": best["efficiency"],
+            "efficiency": median["efficiency"],
+            "efficiency_best": best["efficiency"],
             "efficiency_8_32": round(
                 (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0, 3
             ),
+            "wide_corpus_docs": BENCH_DOCS_WIDE,
             "cpu_ceiling": _cpu_ceiling(),
             "quiet_gate_miters": quiet,
         }

@@ -82,6 +82,40 @@ def grid_sort_indices(
     return idx[perm]
 
 
+def position_reflow_order(
+    x1: np.ndarray,
+    y1: np.ndarray,
+    x2: np.ndarray,
+    y2: np.ndarray,
+    page_h: float,
+    page_w: float,
+    h_chunk: int = 256,
+    w_chunk: int = 3,
+) -> np.ndarray:
+    """R3: the standalone ``position_reflow`` sort
+    (position_reflow.py:8-21).
+
+    Differs from the R2 fallback in one load-bearing way: the
+    quantization scale comes from the PAGE IMAGE dims
+    (``sf = (page_h // 256, page_w // 3)``, position_reflow.py:11),
+    not from the blocks' extent fold.  Same int truncation, floor
+    division, lexicographic key and stable tie order.  Shares the
+    divisor-0 -> 1 crash-guard deviation (reference raises if
+    page_h < 256)."""
+    n = len(x1)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    sf_y = float(page_h) // h_chunk or 1.0
+    sf_x = float(page_w) // w_chunk or 1.0
+    ix1 = np.asarray(x1, dtype=np.float64).astype(np.int64)
+    iy1 = np.asarray(y1, dtype=np.float64).astype(np.int64)
+    ix2 = np.asarray(x2, dtype=np.float64).astype(np.int64)
+    iy2 = np.asarray(y2, dtype=np.float64).astype(np.int64)
+    qx, qy = ix1 // sf_x, iy1 // sf_y
+    qx2, qy2 = ix2 // sf_x, iy2 // sf_y
+    return np.lexsort((qy2, qx2, qy, qx)).astype(np.int64)
+
+
 def _grid_sort_list(X1, Y1, X2, Y2, idx: list) -> list:
     """List-based grid sort (same semantics as grid_sort_indices);
     page-sized subsets are faster in plain Python than NumPy."""

@@ -80,6 +80,26 @@ def synth_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_blocks_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """synth_blocks + the dual-source (E2) columns: a deterministic OCR
+    corruption (offset%4: reversed, else a<->e swapped — both
+    arbitration branches fire) and the text-layer rect as the exact C7
+    image of the bbox (rs=2, H=550; matches q_dual_arbitrate)."""
+    b = synth_blocks(spark, sf_dir)
+    rs, H = 2.0, 550.0
+    return b.select(
+        "*",
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .when(F.col("offset") % 4 == 0, F.reverse(F.col("text")))
+        .otherwise(F.translate(F.col("text"), "ae", "ea"))
+        .alias("ocr_text"),
+        (F.col("x1") / rs).alias("lx1"),
+        (H - F.col("y2") / rs).alias("ly1"),
+        (F.col("x2") / rs).alias("lx2"),
+        (H - F.col("y1") / rs).alias("ly2"),
+    )
+
+
 # DuckDB mirror of synth_blocks (same arithmetic, same column names).
 SYNTH_BLOCKS_SQL = """
 WITH base AS (

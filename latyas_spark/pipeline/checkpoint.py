@@ -76,22 +76,38 @@ def run_checkpointed(
     mega_threshold: int = MEGA_THRESHOLD,
     fail_after: Optional[int] = None,
     run_id: str = "run-0",
+    max_concurrent: int = 1,
 ) -> dict:
     """Extract bucket-by-bucket with resume.
 
     ``joined``: flat KERNEL_COLS frame.  ``fail_after``: test hook —
     raise after N buckets to simulate an interruption.  Returns a
     summary dict {buckets_done, buckets_skipped, spans_written}.
+
+    ``max_concurrent``: buckets in flight at once.  Sequential bucket
+    jobs leave a cluster idle between a bucket's last task and the next
+    job's first wave; Spark job submission is thread-safe, so buckets
+    are submitted from a small thread pool (each bucket's write +
+    manifest commit stays atomic and independent — concurrency changes
+    throughput, not the resume contract).  Keep 1 for deterministic
+    failure-injection tests; a real cluster wants 2-4.
     """
     bucketed = with_bucket(joined, n_buckets)
     done = set(completed_buckets(out_dir))
     todo = [b for b in range(n_buckets) if b not in done]
 
-    spans_total = 0
-    processed = 0
-    for b in todo:
-        if fail_after is not None and processed >= fail_after:
-            raise RuntimeError(f"injected failure after {processed} buckets")
+    import threading
+
+    lock = threading.Lock()
+    state = {"spans": 0, "processed": 0, "started": 0}
+
+    def run_bucket(b: int) -> None:
+        with lock:
+            if fail_after is not None and state["started"] >= fail_after:
+                raise RuntimeError(
+                    f"injected failure after {state['started']} buckets"
+                )
+            state["started"] += 1
         t0 = time.perf_counter()
         part = bucketed.filter(F.col("bucket") == b).drop("bucket")
         spans = extract_spans_flat(part, cfg, mega_threshold=mega_threshold)
@@ -106,7 +122,6 @@ def run_checkpointed(
             for r in written.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
         ]
         n_spans = sum(r["spans"] for r in lineage_rows)
-        spans_total += n_spans
         _write_manifest(
             out_dir,
             b,
@@ -119,12 +134,25 @@ def run_checkpointed(
                 "lineage": lineage_rows,
             },
         )
-        processed += 1
+        with lock:
+            state["spans"] += n_spans
+            state["processed"] += 1
+
+    if max_concurrent <= 1:
+        for b in todo:
+            run_bucket(b)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            futures = [pool.submit(run_bucket, b) for b in todo]
+            for f in futures:
+                f.result()  # re-raise the first failure
 
     return {
-        "buckets_done": processed,
+        "buckets_done": state["processed"],
         "buckets_skipped": len(done),
-        "spans_written": spans_total,
+        "spans_written": state["spans"],
     }
 
 

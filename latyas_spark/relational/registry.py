@@ -303,6 +303,47 @@ FROM q
 )
 
 
+def q_position_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 position_reflow as a window rank: quantization scaled by the
+    PAGE dims (sf = (page_h//256, page_w//3), position_reflow.py:8-21)
+    rather than the block extent (that's grid_rank / R2).  Page dims
+    are fixture constants (1100 x 1000 for the synth corpus)."""
+    sfy = 1100 // 256  # = 4
+    sfx = 1000 // 3  # = 333
+    b = synth_blocks(spark, sf_dir)
+    q = b.select(
+        "doc_id", "page", "offset",
+        F.floor(F.col("x1") / sfx).alias("qx"),
+        F.floor(F.col("y1") / sfy).alias("qy"),
+        F.floor(F.col("x2") / sfx).alias("qx2"),
+        F.floor(F.col("y2") / sfy).alias("qy2"),
+    )
+    wr = Window.partitionBy("doc_id", "page").orderBy(
+        "qx", "qy", "qx2", "qy2", "offset"
+    )
+    return q.select(
+        "doc_id", "page", "offset",
+        F.row_number().over(wr).alias("position_rank"),
+    )
+
+
+POSITION_RANK_SQL = (
+    _blocks_cte()
+    + """
+, q AS (
+  SELECT doc_id, page, "offset",
+    floor(x1 / 333) AS qx, floor(y1 / 4) AS qy,
+    floor(x2 / 333) AS qx2, floor(y2 / 4) AS qy2
+  FROM blocks
+)
+SELECT doc_id, page, "offset",
+  row_number() OVER (PARTITION BY doc_id, page
+                     ORDER BY qx, qy, qx2, qy2, "offset") AS position_rank
+FROM q
+"""
+)
+
+
 # -- joins -----------------------------------------------------------------
 
 
@@ -544,6 +585,118 @@ SELECT doc_id,
        THEN 'native' ELSE 'ocr' END AS pick
 FROM documents
 """
+
+
+def q_dual_arbitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 dual-source arbitration as a relational plan (pdf2txt.py:52-92):
+    C7 flip+descale of detection bboxes into PDF space, a range-join
+    gather of the text layer (>0.5 of the smaller area, concatenated in
+    offset order), then the levenshtein pick — OCR output is a
+    deterministic corruption of the native text so both branches fire.
+    The full pipeline stage (merge + xy-cut + emission) is the
+    extract_spans_dual kernel, golden-tested; this query is the
+    SQL-oracle-checkable slice of it."""
+    b = synth_blocks(spark, sf_dir).withColumn("kind", _classify_col())
+    rs, H = 2.0, 550.0
+    layer = b.filter(F.col("text").isNotNull()).select(
+        "doc_id", "page",
+        F.col("offset").alias("l_offset"),
+        F.col("text").alias("l_text"),
+        (F.col("x1") / rs).alias("lx1"),
+        (H - F.col("y2") / rs).alias("ly1"),
+        (F.col("x2") / rs).alias("lx2"),
+        (H - F.col("y1") / rs).alias("ly2"),
+    )
+    dets = b.filter(
+        (F.col("conf") > 0.3)
+        & F.col("kind").isin("text", "title", "caption")
+    ).select(
+        "doc_id", "page", "offset",
+        (F.col("x1") / rs).alias("qx1"),
+        (H - F.col("y2") / rs).alias("qy1"),
+        (F.col("x2") / rs).alias("qx2"),
+        (H - F.col("y1") / rs).alias("qy2"),
+        F.when(
+            F.col("offset") % 4 == 0, F.reverse(F.col("text"))
+        ).otherwise(F.translate(F.col("text"), "ae", "ea")).alias("ocr"),
+    )
+    iw = F.least(F.col("qx2"), F.col("lx2")) - F.greatest(F.col("qx1"), F.col("lx1"))
+    ih = F.least(F.col("qy2"), F.col("ly2")) - F.greatest(F.col("qy1"), F.col("ly1"))
+    inter = F.greatest(iw, F.lit(0.0)) * F.greatest(ih, F.lit(0.0))
+    area_q = (F.col("qx2") - F.col("qx1")) * (F.col("qy2") - F.col("qy1"))
+    area_l = (F.col("lx2") - F.col("lx1")) * (F.col("ly2") - F.col("ly1"))
+    pairs = dets.join(layer, ["doc_id", "page"]).filter(
+        inter > 0.5 * F.least(area_q, area_l)
+    )
+    gathered = pairs.groupBy("doc_id", "page", "offset", "ocr").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(l_offset, l_text))),"
+                " s -> s.l_text)"
+            ),
+            "",
+        ).alias("pdf_text")
+    )
+    # left join back so detections whose gather is empty arbitrate vs ''
+    full = dets.select("doc_id", "page", "offset", "ocr").join(
+        gathered, ["doc_id", "page", "offset", "ocr"], "left"
+    ).withColumn("pdf_text", F.coalesce(F.col("pdf_text"), F.lit("")))
+    rel = F.levenshtein("ocr", "pdf_text") / F.greatest(
+        F.length("ocr"), F.length("pdf_text")
+    )
+    return full.select(
+        "doc_id", "page", "offset",
+        F.round(rel, 4).alias("rel_dist"),
+        F.when(rel < 0.2, F.lit("native")).otherwise(F.lit("ocr")).alias("pick"),
+        F.when(rel < 0.2, F.col("pdf_text")).otherwise(F.col("ocr")).alias("final_text"),
+    )
+
+
+DUAL_ARBITRATE_SQL = (
+    _blocks_cte()
+    + f"""
+, k AS (SELECT *, {CLASSIFY_SQL_CASE} AS kind FROM blocks)
+, layer AS (
+  SELECT doc_id, page, "offset" AS l_offset, text AS l_text,
+    x1 / 2.0 AS lx1, 550.0 - y2 / 2.0 AS ly1,
+    x2 / 2.0 AS lx2, 550.0 - y1 / 2.0 AS ly2
+  FROM k WHERE text IS NOT NULL
+), dets AS (
+  SELECT doc_id, page, "offset",
+    x1 / 2.0 AS qx1, 550.0 - y2 / 2.0 AS qy1,
+    x2 / 2.0 AS qx2, 550.0 - y1 / 2.0 AS qy2,
+    CASE WHEN "offset" % 4 = 0 THEN reverse(text)
+         ELSE translate(text, 'ae', 'ea') END AS ocr
+  FROM k WHERE conf > 0.3 AND kind IN ('text', 'title', 'caption')
+), pairs AS (
+  SELECT d.doc_id, d.page, d."offset", d.ocr, l.l_offset, l.l_text
+  FROM dets d JOIN layer l ON d.doc_id = l.doc_id AND d.page = l.page
+  WHERE greatest(least(d.qx2, l.lx2) - greatest(d.qx1, l.lx1), 0)
+      * greatest(least(d.qy2, l.ly2) - greatest(d.qy1, l.ly1), 0)
+      > 0.5 * least((d.qx2-d.qx1)*(d.qy2-d.qy1), (l.lx2-l.lx1)*(l.ly2-l.ly1))
+), gathered AS (
+  SELECT doc_id, page, "offset", ocr,
+    string_agg(l_text, '' ORDER BY l_offset) AS pdf_text
+  FROM pairs GROUP BY doc_id, page, "offset", ocr
+), arb AS (
+  SELECT d.doc_id, d.page, d."offset", d.ocr,
+    COALESCE(g.pdf_text, '') AS pdf_text
+  FROM dets d LEFT JOIN gathered g
+    ON d.doc_id = g.doc_id AND d.page = g.page
+   AND d."offset" = g."offset" AND d.ocr = g.ocr
+)
+SELECT doc_id, page, "offset",
+  round(levenshtein(ocr, pdf_text) * 1.0
+        / greatest(length(ocr), length(pdf_text)), 4) AS rel_dist,
+  CASE WHEN levenshtein(ocr, pdf_text) * 1.0
+            / greatest(length(ocr), length(pdf_text)) < 0.2
+       THEN 'native' ELSE 'ocr' END AS pick,
+  CASE WHEN levenshtein(ocr, pdf_text) * 1.0
+            / greatest(length(ocr), length(pdf_text)) < 0.2
+       THEN pdf_text ELSE ocr END AS final_text
+FROM arb
+"""
+)
 
 
 # -- dedup family (training-data ops) --------------------------------------
@@ -1191,53 +1344,61 @@ def q_boilerplate_cetd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The paper pipeline's kind -> OCR-model routing table
-# (paper_pipeline.py:47-59); kinds are lowercased BlockType names.
-OCR_RULES = [
-    ("title", "ocr_paddle"), ("text", "ocr_paddle"),
-    ("caption", "ocr_paddle"), ("tablecaption", "ocr_paddle"),
-    ("figurecaption", "ocr_paddle"), ("reference", "ocr_paddle"),
-    ("header", "ocr_paddle"), ("footer", "ocr_paddle"),
-    ("equation", "ocr_texteller"), ("embedeq", "ocr_texteller"),
-    ("textwithequation", "ocr_texmix"), ("table", "tsr_gotocr2"),
-]
+# Preset kind -> OCR-model routing tables (pipeline ctors; see
+# pipeline/presets.py for the cites).  OCR_RULES keeps its r1 name as
+# the paper table.
+from ..pipeline.presets import PAPER_RULES, REPORT_RULES  # noqa: E402
+
+OCR_RULES = list(PAPER_RULES)
 
 
-def q_ocr_route(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 rule-dispatch as a broadcast join: classified blocks join the
-    (tiny, broadcast) kind->model rule table; kinds with no rule are
-    surfaced as model='unrouted' with their count (the reference raises
-    on a missing rule, base_pipeline.py:91-92 — at corpus scale we
-    count instead of aborting the job)."""
-    b = synth_blocks(spark, sf_dir).withColumn("kind", _classify_col())
-    rules = spark.createDataFrame(OCR_RULES, "kind string, model string")
-    routed = b.filter(F.col("conf") > 0.3).join(
-        F.broadcast(rules), "kind", "left"
+def _ocr_route_query(rules_table):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        b = synth_blocks(spark, sf_dir).withColumn("kind", _classify_col())
+        rules = spark.createDataFrame(
+            list(rules_table), "kind string, model string"
+        )
+        routed = b.filter(F.col("conf") > 0.3).join(
+            F.broadcast(rules), "kind", "left"
+        )
+        return routed.groupBy(
+            F.coalesce(F.col("model"), F.lit("unrouted")).alias("model")
+        ).agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.countDistinct("kind").alias("n_kinds"),
+        )
+
+    return q
+
+
+def _ocr_route_sql(rules_table) -> str:
+    rules_sql = " UNION ALL ".join(
+        f"SELECT '{k}' AS kind, '{m}' AS model" for k, m in rules_table
     )
-    return routed.groupBy(
-        F.coalesce(F.col("model"), F.lit("unrouted")).alias("model")
-    ).agg(
-        F.count(F.lit(1)).alias("n_blocks"),
-        F.countDistinct("kind").alias("n_kinds"),
-    )
-
-
-_OCR_RULES_SQL = " UNION ALL ".join(
-    f"SELECT '{k}' AS kind, '{m}' AS model" for k, m in OCR_RULES
-)
-
-OCR_ROUTE_SQL = (
-    _blocks_cte()
-    + f""",
+    return (
+        _blocks_cte()
+        + f""",
 classified AS (
   SELECT *, {CLASSIFY_SQL_CASE} AS kind FROM blocks WHERE conf > 0.3
-), rules AS ({_OCR_RULES_SQL})
+), rules AS ({rules_sql})
 SELECT COALESCE(rules.model, 'unrouted') AS model,
   COUNT(*) AS n_blocks, COUNT(DISTINCT classified.kind) AS n_kinds
 FROM classified LEFT JOIN rules ON classified.kind = rules.kind
 GROUP BY COALESCE(rules.model, 'unrouted')
 """
-)
+    )
+
+
+# J4 rule-dispatch as a broadcast join: classified blocks join the
+# (tiny, broadcast) kind->model rule table; kinds with no rule are
+# surfaced as model='unrouted' with their count (the reference raises
+# on a missing rule, base_pipeline.py:91-92 — at corpus scale we count
+# instead of aborting the job).  One query per preset rule table
+# (report == book).
+q_ocr_route = _ocr_route_query(PAPER_RULES)
+q_ocr_route_report = _ocr_route_query(REPORT_RULES)
+OCR_ROUTE_SQL = _ocr_route_sql(PAPER_RULES)
+OCR_ROUTE_REPORT_SQL = _ocr_route_sql(REPORT_RULES)
 
 
 def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1313,6 +1474,23 @@ def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dual_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dual-source (E2) extraction DAG over the events-derived
+    corpus: merge -> C7 flip -> gather -> levenshtein arbitration ->
+    CJK filters -> xy-cut -> emit (pdf2txt.py:52-100).  Rows-only:
+    xy-cut recursion isn't ANSI-SQL; the SQL-checkable arbitration
+    slice is q_dual_arbitrate, and byte-exact goldens live in
+    tests/test_dual_and_presets.py."""
+    from dataclasses import replace
+
+    from ..core.document import DEFAULT_CONFIG
+    from ..pipeline.adapter import synth_blocks_dual
+    from ..pipeline.extract import extract_spans_flat
+
+    cfg = replace(DEFAULT_CONFIG, page_height=550.0)
+    return extract_spans_flat(synth_blocks_dual(spark, sf_dir), cfg, dual=True)
+
+
 def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction DAG over the events-derived corpus: classify ->
     overlap merge -> containment/texmix -> gather -> xy-cut -> emit.
@@ -1354,8 +1532,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "boilerplate_strip": (q_boilerplate_strip, BOILERPLATE_SQL),
     "boilerplate_cetd": (q_boilerplate_cetd, None),
     "ocr_route": (q_ocr_route, OCR_ROUTE_SQL),
+    "ocr_route_report": (q_ocr_route_report, OCR_ROUTE_REPORT_SQL),
+    "position_rank": (q_position_rank, POSITION_RANK_SQL),
+    "dual_arbitrate": (q_dual_arbitrate, DUAL_ARBITRATE_SQL),
     "mix_interleave": (q_mix_interleave, None),
     "flagship_extract": (q_flagship_extract, None),
+    "dual_extract": (q_dual_extract, None),
 }
 
 

@@ -74,3 +74,17 @@ def test_manifests_carry_lineage(spark, joined, tmp_path):
         assert all(r["partition_id"] >= 0 for r in m["lineage"])
         total += m["spans"]
     assert total == read_checkpointed(spark, out).count()
+
+
+def test_concurrent_buckets_equal_sequential(spark, joined, tmp_path):
+    """max_concurrent submits bucket jobs from a thread pool; the
+    output and manifests must be identical to the sequential run."""
+    out_s = str(tmp_path / "seq")
+    out_c = str(tmp_path / "conc")
+    run_checkpointed(spark, joined, out_s, n_buckets=8)
+    summary = run_checkpointed(spark, joined, out_c, n_buckets=8, max_concurrent=4)
+    assert summary["buckets_done"] == 8
+    assert completed_buckets(out_c) == list(range(8))
+    assert _collect(read_checkpointed(spark, out_s)) == _collect(
+        read_checkpointed(spark, out_c)
+    )

@@ -202,6 +202,75 @@ def test_multi_detector_golden(spark, corpus_dir):
     assert any(single.get(d) != want[d] for d in want)
 
 
+# --- R3 position_reflow -----------------------------------------------
+
+
+def test_position_reflow_order_matches_reference_semantics():
+    """R3 (position_reflow.py:8-21): page-dim-scaled quantized sort.
+    Cross-checked against a direct transliteration of the cited
+    algorithm on adversarial boxes (ties, int truncation, stability)."""
+    import numpy as np
+
+    from latyas_spark.core.xycut import position_reflow_order
+
+    boxes = [
+        (10.7, 900.2, 200.9, 950.0),   # bottom, left
+        (10.0, 10.0, 200.0, 60.0),     # top, left
+        (600.0, 10.0, 900.0, 60.0),    # top, right
+        (10.0, 11.5, 200.0, 61.0),     # near-tie with box 1
+        (333.0, 500.0, 666.0, 540.0),  # middle column
+        (0.0, 0.0, 999.0, 30.0),       # full-width banner
+    ]
+    page_h, page_w = 1100.0, 1000.0
+    sf = (int(page_h) // 256, int(page_w) // 3)
+
+    keyed = []
+    for i, (x, y, x2, y2) in enumerate(boxes):
+        x, y, x2, y2 = int(x), int(y), int(x2), int(y2)
+        keyed.append(((x // sf[1], y // sf[0], x2 // sf[1], y2 // sf[0]), i))
+    want = [i for _, i in sorted(keyed, key=lambda t: t[0])]
+
+    x1, y1, x2, y2 = (np.array([b[k] for b in boxes]) for k in range(4))
+    got = position_reflow_order(x1, y1, x2, y2, page_h, page_w).tolist()
+    assert got == want
+    # divisor-0 guard: a tiny page must not raise
+    position_reflow_order(x1, y1, x2, y2, 100.0, 2.0)
+
+
+def test_dual_extract_query_spark_vs_local(spark, sf001_dir):
+    """Rows-only pin for the dual_extract registry entry: the Spark DAG
+    over the events-derived corpus equals the local dual oracle run on
+    the same collected rows."""
+    from dataclasses import replace
+
+    from latyas_spark.pipeline.adapter import synth_blocks_dual
+    from latyas_spark.relational.registry import q_dual_extract
+
+    got = {}
+    for r in q_dual_extract(spark, sf001_dir).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["order"], r["kind"], r["text"], r["media_ref"])
+        )
+    for v in got.values():
+        v.sort()
+
+    rows = [r.asDict() for r in synth_blocks_dual(spark, sf001_dir).collect()]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    cfg = replace(DEFAULT_CONFIG, page_height=550.0)
+    want = {}
+    for doc_id, doc_rows in by_doc.items():
+        spans = extract_document_dual_oracle(
+            sorted(doc_rows, key=lambda r: r["offset"]), cfg
+        )
+        if spans:
+            want[doc_id] = [(o, k, t, m) for (k, t, m, o) in spans]
+    assert set(got) == set(want)
+    for doc_id in want:
+        assert got[doc_id] == want[doc_id], f"mismatch in {doc_id}"
+
+
 # --- mega-id routing guard --------------------------------------------
 
 

@@ -24,6 +24,9 @@ SUBSET = [
     "ann_ivf",
     "boilerplate_strip",
     "ocr_route",
+    "ocr_route_report",
+    "position_rank",
+    "dual_arbitrate",
     "quality_score",
 ]
 
@@ -56,7 +59,10 @@ def test_every_query_has_callable_and_alignment():
     assert set(sqls) <= set(qs)
     # every non-oracle query is documented as rows-only
     rows_only = set(qs) - set(sqls)
-    assert rows_only == {"flagship_extract", "boilerplate_cetd", "mix_interleave"}
+    assert rows_only == {
+        "flagship_extract", "boilerplate_cetd", "mix_interleave",
+        "dual_extract",
+    }
 
 
 def test_minhash_bucket_cap_suppresses_hot_signature(spark, tmp_path):
