@@ -68,6 +68,7 @@ HEADLINE = [
     "dual_extract",
     "quality_score",
     "flagship_extract",
+    "flagship_simple",
 ]
 
 

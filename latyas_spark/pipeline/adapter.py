@@ -100,6 +100,116 @@ def synth_blocks_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Labels for the cut-free corpus: ADAPTER_LABELS minus embedeq (no
+# containment/texmix on these pages by construction).
+SIMPLE_LABELS = [s for s in ADAPTER_LABELS if s != "embedeq"]
+
+
+def synth_blocks_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut-free single-column page family (KERNEL_COLS shape).
+
+    Geometry is constructed so the xy-cut recursion provably reduces to
+    an ascending-y sort, making the WHOLE extraction DAG expressible in
+    SQL (registry.q_flagship_simple's oracle):
+
+      * every pair of blocks overlaps in x (x1 in [100,150], width
+        >= 300): a real vertical split would need two x-disjoint
+        blocks, so no depth-0 cut fires;
+      * blocks are y-stacked at pitch 125 with heights <= 99, so every
+        consecutive y-gap is >= 26 > 2*margin(10): each depth-1
+        horizontal cut isolates one block -> reading order == y order;
+      * no embedeq labels (no containment stage), no overlapping pairs
+        (zero intersection areas -> no merge).
+
+    Low-confidence rows still land in the text layer, so the gather
+    stage stays live.  Mirrored in SYNTH_SIMPLE_SQL.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    labels_arr = F.array(*[F.lit(s) for s in SIMPLE_LABELS])
+    base = ev.select(
+        F.concat(
+            F.lit("simdoc-"), F.lpad((F.col("user_id") % 200).cast("string"), 5, "0")
+        ).alias("doc_id"),
+        (F.col("event_id") % 3).cast("int").alias("page"),
+        F.col("event_id"),
+        (100 + (F.col("event_id") * 7) % 50).cast("double").alias("x1"),
+        (300 + (F.col("event_id") * 11) % 100).cast("double").alias("w"),
+        (20 + (F.col("event_id") * 23) % 80).cast("double").alias("h"),
+        (((F.col("event_id") * 7) % 100) / 100.0).alias("conf"),
+        F.element_at(
+            labels_arr, ((F.col("event_id") * 13) % 17 + 1).cast("int")
+        ).alias("label"),
+        F.col("event_type"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "page").orderBy("event_id")
+    stacked = base.select(
+        "doc_id", "page", "event_id", "x1", "w", "h", "conf", "label",
+        "event_type",
+        ((F.row_number().over(w) - 1) * 125).cast("double").alias("y1"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("event_id")
+    return stacked.select(
+        "doc_id",
+        "page",
+        (F.row_number().over(wd) - 1).cast("int").alias("offset"),
+        "x1",
+        "y1",
+        (F.col("x1") + F.col("w")).alias("x2"),
+        (F.col("y1") + F.col("h")).alias("y2"),
+        "conf",
+        "label",
+        F.when(
+            F.col("label").isin(*MEDIA_LABELS), F.lit(None).cast("string")
+        )
+        .otherwise(F.concat("event_type", F.lit(" "), F.col("event_id").cast("string")))
+        .alias("text"),
+        F.when(
+            F.col("label").isin(*MEDIA_LABELS),
+            F.concat(F.lit("media://"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("media_ref"),
+    )
+
+
+SYNTH_SIMPLE_SQL = """
+WITH base AS (
+  SELECT
+    'simdoc-' || lpad(CAST(user_id % 200 AS VARCHAR), 5, '0') AS doc_id,
+    CAST(event_id % 3 AS INT) AS page,
+    event_id,
+    CAST(100 + (event_id * 7) % 50 AS DOUBLE) AS x1,
+    CAST(300 + (event_id * 11) % 100 AS DOUBLE) AS w,
+    CAST(20 + (event_id * 23) % 80 AS DOUBLE) AS h,
+    ((event_id * 7) % 100) / 100.0 AS conf,
+    (['text','Text','title','figure','figure_caption','table','header',
+      'footer','reference','equation','TOC','list','icon',
+      'qrcode','textwithequation','blob','caption'])[
+        CAST((event_id * 13) % 17 + 1 AS INT)] AS label,
+    event_type
+  FROM events
+), stacked AS (
+  SELECT *,
+    CAST((row_number() OVER (PARTITION BY doc_id, page ORDER BY event_id)
+          - 1) * 125 AS DOUBLE) AS y1
+  FROM base
+)
+SELECT
+  doc_id, page,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY event_id) - 1 AS INT)
+    AS "offset",
+  x1, y1, x1 + w AS x2, y1 + h AS y2, conf, label,
+  CASE WHEN label IN ('figure','icon','qrcode') THEN NULL
+       ELSE event_type || ' ' || CAST(event_id AS VARCHAR) END AS text,
+  CASE WHEN label IN ('figure','icon','qrcode')
+       THEN 'media://' || CAST(event_id AS VARCHAR)
+       ELSE NULL END AS media_ref
+FROM stacked
+"""
+
+
 # DuckDB mirror of synth_blocks (same arithmetic, same column names).
 SYNTH_BLOCKS_SQL = """
 WITH base AS (

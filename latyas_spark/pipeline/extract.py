@@ -391,6 +391,27 @@ def _extract_page_path(
     )
 
 
+def extract_pages(
+    joined: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG, dual: bool = False
+) -> DataFrame:
+    """Page-granular extraction: the page-salted kernel WITHOUT the
+    doc-wide order recovery — output keeps (page, page_pos).  Used by
+    diagnostics and by the SQL-oracle-checkable flagship slice
+    (registry.q_flagship_simple), where per-page positions are the
+    comparable unit."""
+    cols = list(KERNEL_COLS)
+    if "det" in joined.columns:
+        cols.append("det")
+    if dual:
+        cols += DUAL_EXTRA_COLS
+    pruned = joined.select(*cols)
+    shaped = pruned.repartition(_kernel_partitions(pruned), "doc_id", "page")
+    page_fn, sort_cols = _mode_parts(pruned, dual)
+    return shaped.mapInPandas(
+        _page_mode_kernel(cfg, page_fn, sort_cols), schema=PAGE_OUT_SCHEMA
+    )
+
+
 def extract_spans_flat(
     joined: DataFrame,
     cfg: ExtractConfig = DEFAULT_CONFIG,

@@ -24,7 +24,11 @@ from ..core.boilerplate import DEPTH_MOD, LINK_MOD
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..pipeline.adapter import SYNTH_BLOCKS_SQL, synth_blocks
+from ..pipeline.adapter import (
+    SYNTH_BLOCKS_SQL,
+    SYNTH_SIMPLE_SQL,
+    synth_blocks,
+)
 
 # -- helpers ---------------------------------------------------------------
 
@@ -1491,6 +1495,67 @@ def q_dual_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans_flat(synth_blocks_dual(spark, sf_dir), cfg, dual=True)
 
 
+def q_flagship_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial SQL oracle for the flagship DAG (VERDICT r1 item 7): the
+    REAL page kernel (classify -> merge sweep -> containment -> gather
+    -> xy-cut recursion -> emission) runs over a corpus family whose
+    geometry provably collapses the recursion to an ascending-y sort
+    (synth_blocks_simple: all-pairs x-overlap kills depth-0 cuts,
+    >=26px y-gaps make every depth-1 cut isolate one block, no embedeq,
+    zero pair intersections).  On this family the whole DAG is
+    SQL-expressible, so the driver hash-checks extraction END TO END —
+    the general corpus stays rows-only (goldens cover it)."""
+    from ..pipeline.adapter import synth_blocks_simple
+    from ..pipeline.extract import extract_pages
+
+    return extract_pages(synth_blocks_simple(spark, sf_dir))
+
+
+_MEDIA_SET_SQL = "('figure','icon','qrcode','barcode')"
+
+FLAGSHIP_SIMPLE_SQL = f"""
+WITH blocks AS (
+{SYNTH_SIMPLE_SQL}
+), k AS (
+  SELECT *, {CLASSIFY_SQL_CASE} AS kind FROM blocks WHERE conf > 0.3
+), layer AS (
+  SELECT doc_id, page, "offset", text, x1, y1, x2, y2,
+         (x2 - x1) * (y2 - y1) AS area
+  FROM blocks WHERE text IS NOT NULL
+), gathered AS (
+  SELECT d.doc_id, d.page, d."offset",
+    string_agg(l.text, '' ORDER BY l."offset") AS gtext
+  FROM k d JOIN layer l ON d.doc_id = l.doc_id AND d.page = l.page
+  WHERE d.kind IN {_TEXT_SET_SQL}
+    AND greatest(least(d.x2, l.x2) - greatest(d.x1, l.x1), 0)
+      * greatest(least(d.y2, l.y2) - greatest(d.y1, l.y1), 0)
+      > 0.5 * least(l.area, (d.x2 - d.x1) * (d.y2 - d.y1))
+    AND least(l.area, (d.x2 - d.x1) * (d.y2 - d.y1)) > 0
+  GROUP BY d.doc_id, d.page, d."offset"
+), emitted AS (
+  SELECT k.doc_id, k.page, k.y1, k.kind,
+    CASE
+      WHEN k.kind IN {_MEDIA_SET_SQL} THEN NULL
+      WHEN k.kind = 'equation' THEN e'\\n$$\\n' || k.text || e'\\n$$\\n'
+      WHEN k.kind = 'table' THEN k.text
+      ELSE COALESCE(g.gtext, '')
+    END AS text,
+    CASE WHEN k.kind IN {_MEDIA_SET_SQL} THEN k.media_ref END AS media_ref
+  FROM k LEFT JOIN gathered g
+    ON k.doc_id = g.doc_id AND k.page = g.page AND k."offset" = g."offset"
+  WHERE k.kind IN {_MEDIA_SET_SQL}
+     OR (k.kind = 'equation' AND k.text IS NOT NULL)
+     OR (k.kind = 'table' AND k.text IS NOT NULL)
+     OR k.kind IN {_TEXT_SET_SQL}
+)
+SELECT doc_id, page,
+  CAST(row_number() OVER (PARTITION BY doc_id, page ORDER BY y1) - 1 AS INT)
+    AS page_pos,
+  kind, text, media_ref
+FROM emitted
+"""
+
+
 def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction DAG over the events-derived corpus: classify ->
     overlap merge -> containment/texmix -> gather -> xy-cut -> emit.
@@ -1537,6 +1602,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dual_arbitrate": (q_dual_arbitrate, DUAL_ARBITRATE_SQL),
     "mix_interleave": (q_mix_interleave, None),
     "flagship_extract": (q_flagship_extract, None),
+    "flagship_simple": (q_flagship_simple, FLAGSHIP_SIMPLE_SQL),
     "dual_extract": (q_dual_extract, None),
 }
 

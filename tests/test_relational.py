@@ -27,6 +27,7 @@ SUBSET = [
     "ocr_route_report",
     "position_rank",
     "dual_arbitrate",
+    "flagship_simple",
     "quality_score",
 ]
 
