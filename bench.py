@@ -2,11 +2,17 @@
 
 Runs headline relational queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS], then measures flagship extraction throughput
-on the deterministic fixture corpus at TWO parallelism levels —
-local[8] and local[32], the sandbox stand-in for N vs 4N executors —
-and reports the scaling efficiency (thr_32 / thr_8) / 4 required >= 0.8
-by BASELINE.json.  Prints ONE JSON line and refreshes
-BENCH/BASELINE.md.
+at N vs 4N cores on the same input (the sandbox stand-in for two
+cluster sizes) and reports the scaling efficiency (thr_4N / thr_N) / 4
+required >= 0.8 by BASELINE.json:
+
+* headline pair local[4] -> local[16], measured as 3 adjacent rounds,
+  gated on the MEDIAN round (best reported as supplementary);
+* secondary pair local[8] -> local[32] on a wider corpus so both walls
+  stay >= ~45s (short walls are overhead-dominated and under-measure
+  scaling).
+
+Prints ONE JSON line and refreshes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -121,14 +127,69 @@ def _fixture_corpus(n_docs: int) -> str:
     return d
 
 
-def _run_extraction(master: str, corpus: str, n_docs: int, n_timed: int = 2) -> dict:
+class _RateMonitor:
+    """Samples single-core busy-loop throughput DURING a timed run.
+
+    The pre-run quiet gate cannot catch a noisy-neighbor episode that
+    starts mid-run (observed: a local[16] wall 2.4x its clean value
+    with clean gates on both sides).  A driver thread burns one core
+    for 0.25s every 2s; the AVERAGE sampled rate exposes CPU theft
+    inside the window (the minimum is recorded too but is scheduler-
+    jitter-noisy once 16+ cores are busy, so it doesn't gate).  Only
+    meaningful when the Spark run leaves spare
+    cores (master width < host cores): at local[32] the monitor
+    contends with the job itself, so callers skip it there.
+    """
+
+    def __init__(self):
+        import threading
+
+        self.samples = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            t_end = time.perf_counter() + 0.25
+            n = 0
+            x = 1.0
+            while time.perf_counter() < t_end:
+                for _ in range(5000):
+                    x = x * 1.0000001 + 0.5
+                n += 5000
+            self.samples.append(n / 0.25 / 1e6)
+            self._stop.wait(2.0)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=5)
+
+    def stats(self) -> dict:
+        if not self.samples:
+            return {"min": None, "avg": None}
+        return {
+            "min": round(min(self.samples), 1),
+            "avg": round(sum(self.samples) / len(self.samples), 1),
+        }
+
+
+def _run_extraction(
+    master: str, corpus: str, n_docs: int, n_timed: int = 2,
+    monitor: bool = False,
+) -> dict:
     """Fresh session at the given parallelism; returns docs/sec.
 
     One full warm-up run (JVM JIT + python worker pool + page cache —
     mirrors the reference's warm-up exclusion, det_model/
-    inference.py:117-121), then two timed runs, best-of-2: the sandbox
+    inference.py:117-121), then timed runs (best-of-n): the sandbox
     VM shows multi-second noise spikes, and a truncated warm-up
     (limit(64)) was measured to leave the first full run ~2x slower.
+    ``monitor=True`` samples host single-core speed during the timed
+    window (see _RateMonitor) and reports min/avg alongside.
     """
     from latyas_spark.pipeline.extract import extract_spans
     from latyas_spark.pipeline.session import build_session
@@ -139,13 +200,23 @@ def _run_extraction(master: str, corpus: str, n_docs: int, n_timed: int = 2) -> 
         blocks = spark.read.parquet(f"{corpus}/layout_blocks.parquet")
         _materialize(extract_spans(docs, blocks))
         walls = []
-        for _ in range(n_timed):
-            t0 = time.perf_counter()
-            _materialize(extract_spans(docs, blocks))
-            walls.append(time.perf_counter() - t0)
+        rate = {"min": None, "avg": None}
+        if monitor:
+            with _RateMonitor() as mon:
+                for _ in range(n_timed):
+                    t0 = time.perf_counter()
+                    _materialize(extract_spans(docs, blocks))
+                    walls.append(time.perf_counter() - t0)
+            rate = mon.stats()
+        else:
+            for _ in range(n_timed):
+                t0 = time.perf_counter()
+                _materialize(extract_spans(docs, blocks))
+                walls.append(time.perf_counter() - t0)
         wall = min(walls)
         return {"master": master, "wall_sec": round(wall, 3),
-                "docs_per_sec": round(n_docs / wall, 2)}
+                "docs_per_sec": round(n_docs / wall, 2),
+                "inrun_rate": rate}
     finally:
         spark.stop()
 
@@ -162,12 +233,23 @@ def _single_core_rate() -> float:
     return n / 1.5 / 1e6
 
 
-def _wait_for_quiet(nominal: float = 26.0, attempts: int = 6) -> float:
+# Host-speed thresholds (Miter/s, single-core busy loop): this VM runs
+# ~26-30 clean; observed noisy-neighbor episodes drop it to ~10.
+QUIET_NOMINAL = float(os.environ.get("SPARK_GRAFT_QUIET_NOMINAL", "26"))
+# In-run validity floor, applied to the AVERAGE sampled rate of a run:
+# the minimum sample is scheduler-jitter-noisy once 16+ cores are busy
+# (observed: clean runs with min 16 but avg 24), while a genuine
+# noisy-neighbor episode drags the average down for its whole duration.
+RATE_FLOOR = QUIET_NOMINAL * 0.75
+
+
+def _wait_for_quiet(nominal: float = QUIET_NOMINAL, attempts: int = 20) -> float:
     """Scaling runs are meaningless under noisy-neighbor CPU theft (one
-    observed episode halved the host: 64 vs ~110 Miter/s at K=4).
-    Gate each timed section on single-core throughput reaching
-    ``nominal`` Miter/s; give up after ~5 min and proceed (the ceiling
-    numbers recorded alongside the results still expose a bad window).
+    observed episode dropped the host to ~10 vs ~27 Miter/s and tripled
+    a timed wall).  Gate each timed section on single-core throughput
+    reaching ``nominal`` Miter/s; waiting out an episode (up to ~10
+    min) is far cheaper than a wasted 10-minute round.  The in-run
+    monitor (_RateMonitor) covers episodes that start mid-run.
     """
     rate = _single_core_rate()
     for _ in range(attempts):
@@ -237,25 +319,38 @@ def _write_report(result: dict) -> None:
         if sc.get("rounds"):
             lines += [
                 "",
-                "All N->4N rounds (the gate metric is the MEDIAN round; "
-                "the median round's runs are tabled above):",
+                "All N->4N rounds (gate metric = MEDIAN over rounds whose "
+                "host speed was clean both at the pre-gate and throughout "
+                "the run — validity decided by host speed only, never by "
+                "the efficiency value; the median round's runs are tabled "
+                "above):",
                 "",
             ]
             for r in sc["rounds"]:
                 lines.append(
                     f"- round {r['round']}: local[4] {r['wall_local4']}s, "
-                    f"local[16] {r['wall_local16']}s, eff {r['efficiency']}"
+                    f"local[16] {r['wall_local16']}s, eff {r['efficiency']}, "
+                    f"in-run host speed avg "
+                    f"{r.get('inrun_avg_local4')}/{r.get('inrun_avg_local16')}"
+                    f" (min {r.get('inrun_min_local4')}/"
+                    f"{r.get('inrun_min_local16')}) Miter/s, "
+                    + ("VALID" if r.get("valid") else "contested")
                 )
         lines += [
             "",
             f"**Scaling efficiency N->4N (thr_16/thr_4)/4 = "
-            f"{sc['efficiency']} (median of 3 rounds; best "
-            f"{sc.get('efficiency_best')})** (required >= 0.8, "
+            f"{sc['efficiency']} (median of {sc.get('n_valid_rounds')} "
+            f"valid rounds; best {sc.get('efficiency_best')}; "
+            f"platform-adjusted {sc.get('efficiency_vs_ceiling')} vs the "
+            "same-run busy-loop ceiling)** (required >= 0.8, "
             "BASELINE.json)",
             "",
             f"**Secondary pair 8->32: (thr_32/thr_8)/4 = "
             f"{sc.get('efficiency_8_32')}** at "
-            f"{sc.get('wide_corpus_docs')} docs.  Same-run platform "
+            f"{sc.get('wide_corpus_docs')} docs "
+            f"({'clean window' if sc.get('secondary_valid') else 'CONTESTED window — rerun advised'}; "
+            f"attempts: {sc.get('secondary_attempts')}).  "
+            "Same-run platform "
             "context: aggregate throughput of K independent pure-python "
             f"busy loops (no Spark, no IO) measures {ceil.get('4')}/"
             f"{ceil.get('8')}/{ceil.get('16')}/{ceil.get('32')} Miter/s "
@@ -287,19 +382,35 @@ def main() -> None:
     scaling = None
     if not SKIP_SCALING:
         corpus = _fixture_corpus(BENCH_DOCS)
-        # The headline N->4N pair is measured as THREE temporally-
-        # adjacent (local[4], local[16]) rounds; the gate metric is the
-        # MEDIAN round (best-of-N on a noisy metric is upward selection
-        # bias on exactly the gated number — ADVICE r1), with the best
-        # round reported as supplementary.  This host's per-core speed
-        # drifts +-30% on minute scales, so all rounds and the
-        # concurrent compute ceiling are recorded for audit.
+        # The headline N->4N pair is measured as adjacent (local[4],
+        # local[16]) rounds; the gate metric is the MEDIAN over VALID
+        # rounds (best-of-N on a noisy metric is upward selection bias
+        # on exactly the gated number — ADVICE r1).  A round is valid
+        # iff its pre-run quiet gate passed AND the in-run host-speed
+        # monitor (one 0.25s single-core sample every 2s, on the cores
+        # the 4/16-wide job leaves idle) never dipped below RATE_FLOOR
+        # — validity is decided by host speed alone, never by the
+        # efficiency value.  Up to 6 rounds run until 3 are valid; ALL
+        # rounds, gates and in-run rates are recorded for audit.
         rounds = []
         quiet = {}
-        for r in range(3):
+        for r in range(6):
             quiet[f"round{r}"] = _wait_for_quiet()
-            r4 = _run_extraction("local[4]", corpus, BENCH_DOCS, n_timed=1)
-            r16 = _run_extraction("local[16]", corpus, BENCH_DOCS, n_timed=1)
+            r4 = _run_extraction(
+                "local[4]", corpus, BENCH_DOCS, n_timed=1, monitor=True
+            )
+            r16 = _run_extraction(
+                "local[16]", corpus, BENCH_DOCS, n_timed=1, monitor=True
+            )
+            avgs = [
+                m for m in (r4["inrun_rate"]["avg"], r16["inrun_rate"]["avg"])
+                if m is not None
+            ]
+            valid = (
+                quiet[f"round{r}"] >= QUIET_NOMINAL
+                and avgs
+                and min(avgs) >= RATE_FLOOR
+            )
             rounds.append(
                 {
                     "round": r,
@@ -307,20 +418,59 @@ def main() -> None:
                     "thr_local16": r16["docs_per_sec"],
                     "wall_local4": r4["wall_sec"],
                     "wall_local16": r16["wall_sec"],
+                    "inrun_min_local4": r4["inrun_rate"]["min"],
+                    "inrun_min_local16": r16["inrun_rate"]["min"],
+                    "inrun_avg_local4": r4["inrun_rate"]["avg"],
+                    "inrun_avg_local16": r16["inrun_rate"]["avg"],
+                    "valid": bool(valid),
                     "efficiency": round(
                         (r16["docs_per_sec"] / r4["docs_per_sec"]) / 4.0, 3
                     ),
                 }
             )
-        by_eff = sorted(rounds, key=lambda r: r["efficiency"])
+            if sum(1 for x in rounds if x["valid"]) >= 3:
+                break
+        valid_rounds = [x for x in rounds if x["valid"]] or rounds
+        by_eff = sorted(valid_rounds, key=lambda x: x["efficiency"])
         median = by_eff[len(by_eff) // 2]
         best = by_eff[-1]
         # Secondary pair 8->32 on the wide corpus so BOTH walls stay
         # >= ~45s (amortizing fixed costs; see BENCH_DOCS note above).
+        # local[32] saturates the host, so only the local[8] half is
+        # monitorable; the pair retries once if that half was noisy.
         corpus_wide = _fixture_corpus(BENCH_DOCS_WIDE)
-        quiet["secondary"] = _wait_for_quiet()
-        r8 = _run_extraction("local[8]", corpus_wide, BENCH_DOCS_WIDE, n_timed=1)
-        r32 = _run_extraction("local[32]", corpus_wide, BENCH_DOCS_WIDE, n_timed=1)
+        attempts_8_32 = []
+        for a in range(2):
+            quiet[f"secondary{a}"] = _wait_for_quiet()
+            r8 = _run_extraction(
+                "local[8]", corpus_wide, BENCH_DOCS_WIDE, n_timed=1,
+                monitor=True,
+            )
+            r32 = _run_extraction(
+                "local[32]", corpus_wide, BENCH_DOCS_WIDE, n_timed=1
+            )
+            a_valid = (
+                quiet[f"secondary{a}"] >= QUIET_NOMINAL
+                and r8["inrun_rate"]["avg"] is not None
+                and r8["inrun_rate"]["avg"] >= RATE_FLOOR
+            )
+            attempts_8_32.append(
+                {
+                    "attempt": a,
+                    "r8": r8,
+                    "r32": r32,
+                    "valid": bool(a_valid),
+                    "efficiency": round(
+                        (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0, 3
+                    ),
+                }
+            )
+            if a_valid:
+                break
+        chosen = next(
+            (x for x in attempts_8_32 if x["valid"]), attempts_8_32[-1]
+        )
+        r8, r32 = chosen["r8"], chosen["r32"]
         scaling = {
             "rounds": rounds,
             "median_round": median["round"],
@@ -341,13 +491,35 @@ def main() -> None:
             "thr_local32": r32["docs_per_sec"],
             "efficiency": median["efficiency"],
             "efficiency_best": best["efficiency"],
-            "efficiency_8_32": round(
-                (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0, 3
-            ),
+            "n_valid_rounds": sum(1 for x in rounds if x["valid"]),
+            "efficiency_8_32": chosen["efficiency"],
+            "secondary_valid": chosen["valid"],
+            "secondary_attempts": [
+                {"attempt": x["attempt"], "valid": x["valid"],
+                 "efficiency": x["efficiency"],
+                 "thr_local8": x["r8"]["docs_per_sec"],
+                 "thr_local32": x["r32"]["docs_per_sec"],
+                 "inrun_min_local8": x["r8"]["inrun_rate"]["min"],
+                 "inrun_avg_local8": x["r8"]["inrun_rate"]["avg"]}
+                for x in attempts_8_32
+            ],
             "wide_corpus_docs": BENCH_DOCS_WIDE,
             "cpu_ceiling": _cpu_ceiling(),
             "quiet_gate_miters": quiet,
         }
+        # Supplementary, platform-adjusted view: the same-run busy-loop
+        # ceiling is what an embarrassingly-parallel job could scale to
+        # in this window; efficiency/ceiling separates pipeline scaling
+        # from host frequency droop + neighbor load.
+        ceil = scaling["cpu_ceiling"]
+        if ceil.get("ceiling_4_16"):
+            scaling["efficiency_vs_ceiling"] = round(
+                scaling["efficiency"] / ceil["ceiling_4_16"], 3
+            )
+        if ceil.get("ceiling_8_32"):
+            scaling["efficiency_8_32_vs_ceiling"] = round(
+                scaling["efficiency_8_32"] / ceil["ceiling_8_32"], 3
+            )
 
     total = round(time.perf_counter() - t_start, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

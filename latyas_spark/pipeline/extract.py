@@ -189,10 +189,19 @@ def _sorted_partition_chunks(
     upstream the JVM burned ~231 CPU-seconds on three wide-row sorts
     at 5.3M rows, serialized against the Python kernel inside one
     stage.  A whole-partition pandas lexsort of the same data costs
-    <2s total.  Memory: the kernel-stage partition count is chosen so
-    a partition fits comfortably in a worker (SURVEY.md §4.3); mega
-    docs are page-salted before this point, so no partition is
-    dominated by one document.
+    <2s total.
+
+    Memory envelope (the cost of whole-partition buffering): a kernel
+    input row is ~250 B on the wire (4 float64 coords, conf, 3 short
+    strings, ids) and ~3x that as pandas objects, so a task holds
+    ~750 B x rows_per_partition.  At the bench shape (5.3M rows / 128
+    partitions) that is ~31 MB/task — far under a worker's share.  At
+    warehouse scale, size the kernel partition count as
+    P >= total_rows * 750B / 512MB (e.g. 10^10 span rows -> P ~ 15k),
+    via spark.sql.shuffle.partitions or bucketing; _kernel_partitions
+    only enforces a floor of 4x cores.  Mega docs are page-salted
+    before this point, so no partition is dominated by one document —
+    the bound holds under document skew.
     """
     parts = [pdf for pdf in batches if len(pdf)]
     if not parts:

@@ -1,1 +1,5 @@
-from .ingest import stream_extract, streaming_span_metrics  # noqa: F401
+from .ingest import (  # noqa: F401
+    stream_extract,
+    streaming_span_metrics,
+    write_span_batch,
+)

@@ -38,6 +38,22 @@ DOC_SCHEMA = (
 )
 
 
+def write_span_batch(spans: DataFrame, batch_id: int, output_dir: str) -> None:
+    """Idempotent micro-batch sink: spans land under
+    ``batch_id=<id>/`` via dynamic partition overwrite, so a batch
+    retried after a partial write REPLACES its own partition instead of
+    appending a second copy — the write-side half of exactly-once
+    (the read-side half is the streaming checkpoint's file-commit log).
+    """
+    (
+        spans.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_dir)
+    )
+
+
 def stream_extract(
     spark: SparkSession,
     input_dir: str,
@@ -66,17 +82,10 @@ def stream_extract(
     docs = reader.parquet(input_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract_spans(
+        spans = extract_spans(
             batch_df, layout_blocks, cfg, mega_threshold=mega_threshold
-        ).withColumn("batch_id", F.lit(batch_id))
-        # overwrite scoped to THIS batch's partition: retries replace
-        # a partially-written batch instead of appending it twice
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(output_dir)
         )
+        write_span_batch(spans, batch_id, output_dir)
 
     writer = (
         docs.writeStream.foreachBatch(process)

@@ -127,3 +127,36 @@ def test_streaming_span_metrics_plan_is_streaming(spark):
     assert agg.isStreaming
     cols = set(agg.columns)
     assert {"window_start", "window_end", "kind", "n_spans", "n_docs"} <= cols
+
+
+def test_stream_retry_same_batch_is_idempotent(spark, tmp_path):
+    """A micro-batch retried after a partial write must not duplicate
+    rows: the sink partitions by batch_id with dynamic partition
+    overwrite, so re-running process() for the same batch_id replaces
+    exactly that batch's output."""
+    from latyas_spark.pipeline.extract import extract_spans
+    from latyas_spark.streaming.ingest import write_span_batch
+
+    out_dir = str(tmp_path / "retry_out")
+    rows = corpus_rows(4, mega_every=0, prefix="rt")
+    nested_dir = str(tmp_path / "nested")
+    blocks = _write_nested(spark, rows, nested_dir)
+    docs = spark.read.parquet(nested_dir)
+    sidecar = blocks.select(
+        "doc_id", "offset", "page", "x1", "y1", "x2", "y2", "conf", "label"
+    )
+
+    def process(batch_df, batch_id):
+        write_span_batch(extract_spans(batch_df, sidecar), batch_id, out_dir)
+
+    process(docs, 7)
+    once = sorted(
+        (r["doc_id"], r["order"], r["kind"]) 
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    process(docs, 7)  # the retry
+    twice = sorted(
+        (r["doc_id"], r["order"], r["kind"]) 
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert once == twice  # no duplication, batch replaced in place
