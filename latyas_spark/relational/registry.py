@@ -1113,6 +1113,211 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+# Multi-probe masks: the query cell plus every cell within Hamming
+# distance 2 of it (1 + 8 + 28 = 37 of the 256 cells, ~14% of the
+# corpus).  Sign-LSH bit agreement for a pair at angle theta is
+# 1 - theta/pi, so for genuinely near-duplicate vectors (theta -> 0)
+# the true neighbors concentrate in the low-Hamming shells; probing
+# outward is the standard IVF recall/cost dial (nprobe).  The fixture
+# embeddings are near-uniform random — the adversarial case — and
+# still measure recall 0.0 -> 0.5 going from 1 to 37 probes at sf0.01
+# (tests/test_ann_recall.py pins the monotonicity).
+_MULTIPROBE_MASKS = (
+    [0]
+    + [1 << i for i in range(8)]
+    + [(1 << i) | (1 << j) for i in range(8) for j in range(i + 1, 8)]
+)
+
+
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf with the nprobe dial turned up: probe the query's coarse
+    cell AND all cells within Hamming distance 2 (37/256 cells), rank
+    by exact cosine inside the probed set.  The probe list is 37 rows
+    derived from the single query row, broadcast to the corpus-side
+    scan — at 10^12 vectors the plan is still one shuffle-free
+    broadcast join touching ~14% of the data, vs 100% for brute force.
+    """
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    bucket = F.expr(
+        " + ".join(
+            f"(case when v[{b}] > 0 then {1 << b} else 0 end)" for b in range(8)
+        )
+    ).alias("bucket")
+    eb = emb.select("vec_id", "v", bucket)
+    masks = F.array(*[F.lit(m) for m in _MULTIPROBE_MASKS])
+    probes = (
+        eb.filter(F.col("vec_id") == 0)
+        .select(F.col("v").alias("qv"), F.col("bucket").alias("qbucket"))
+        .withColumn("mask", F.explode(masks))
+        .select("qv", F.expr("cast(qbucket ^ mask as int)").alias("pbucket"))
+    )
+    dot = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0 as double),"
+        " (s, x) -> s + x)"
+    )
+    nv = F.expr("aggregate(v, cast(0 as double), (s, x) -> s + x * x)")
+    nq = F.expr("aggregate(qv, cast(0 as double), (s, x) -> s + x * x)")
+    return (
+        eb.join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(dot / (F.sqrt(nv) * F.sqrt(nq)), 3).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ANN_IVF_MULTIPROBE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), eb AS (
+  SELECT vec_id, v,
+    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+    + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+    + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+    + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END)
+    + (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END)
+    + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+  FROM e
+), q AS (SELECT v AS qv, bucket AS qbucket FROM eb WHERE vec_id = 0),
+probes AS (
+  SELECT qv, CAST(xor(qbucket, m.mask) AS INT) AS pbucket
+  FROM q, (SELECT unnest({list(_MULTIPROBE_MASKS)}) AS mask) m
+), scored AS (
+  SELECT vec_id, bucket,
+    round(
+      list_sum(list_transform(list_zip(eb.v, probes.qv), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(eb.v, x -> x*x)))
+         * sqrt(list_sum(list_transform(probes.qv, x -> x*x)))), 3) AS cos_sim
+  FROM eb JOIN probes ON eb.bucket = probes.pbucket
+  WHERE vec_id <> 0
+)
+SELECT vec_id, bucket, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed (the T2/T4 twin
+    for the vector modality): 8 bands x 8 sign bits (band b codes dims
+    8b..8b+7), candidates = pairs sharing any (band, sig) bucket with
+    a bucket-frequency cap of 64 (the df<=64 guard from ngram_jaccard
+    — a degenerate signature, e.g. an all-zero embedding, must not go
+    quadratic on one key at 10^12 rows), then exact cosine on the
+    candidate set only.  Banding makes recall rise steeply with
+    similarity: a true near-dup (cos >= 0.9) agrees on a whole 8-bit
+    band with prob >= 0.77 per band, ~1 - (1-0.77)^8 ~ 1.0 over 8
+    bands, while random pairs mostly never collide — the right trade
+    for dedup, where misses cost a duplicate but comparisons cost
+    quadratic work.
+    """
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    " + ".join(
+                        f"(case when v[{b * 8 + i}] > 0 then {1 << i}"
+                        " else 0 end)"
+                        for i in range(8)
+                    )
+                ).alias("sig"),
+            )
+            for b in range(8)
+        ]
+    )
+    x = emb.select("vec_id", F.explode(band_sigs).alias("bs")).select(
+        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    capped = (
+        x.groupBy("band", "sig").count().filter(F.col("count") <= 64)
+        .select("band", "sig")
+    )
+    xs = x.join(capped, ["band", "sig"])
+    cand = (
+        xs.alias("a")
+        .join(
+            xs.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double),"
+        " (s, x) -> s + x)"
+    )
+    na = F.expr("aggregate(va, cast(0 as double), (s, x) -> s + x * x)")
+    nb = F.expr("aggregate(vb, cast(0 as double), (s, x) -> s + x * x)")
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    ebb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(ebb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 3).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+DEDUP_EMBEDDING_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), x AS (
+  SELECT vec_id, CAST(band AS INT) AS band,
+    (CASE WHEN v[band*8+1] > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN v[band*8+2] > 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN v[band*8+3] > 0 THEN 4 ELSE 0 END)
+    + (CASE WHEN v[band*8+4] > 0 THEN 8 ELSE 0 END)
+    + (CASE WHEN v[band*8+5] > 0 THEN 16 ELSE 0 END)
+    + (CASE WHEN v[band*8+6] > 0 THEN 32 ELSE 0 END)
+    + (CASE WHEN v[band*8+7] > 0 THEN 64 ELSE 0 END)
+    + (CASE WHEN v[band*8+8] > 0 THEN 128 ELSE 0 END) AS sig
+  FROM e, (SELECT unnest(range(8)) AS band) b
+), capped AS (
+  SELECT band, sig FROM x GROUP BY band, sig HAVING COUNT(*) <= 64
+), xs AS (
+  SELECT x.* FROM x JOIN capped USING (band, sig)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM xs a JOIN xs b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT vec_a, vec_b,
+    round(
+      list_sum(list_transform(list_zip(ea.v, eb.v), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(ea.v, x -> x*x)))
+         * sqrt(list_sum(list_transform(eb.v, x -> x*x)))), 3) AS cos_sim
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.vec_a
+  JOIN e eb ON eb.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.3
+"""
+
+
 # -- text analysis ---------------------------------------------------------
 
 
@@ -1594,6 +1799,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "fingerprint": (q_fingerprint, FINGERPRINT_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "ann_ivf": (q_ann_ivf, ANN_IVF_SQL),
+    "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, ANN_IVF_MULTIPROBE_SQL),
+    "dedup_embedding": (q_dedup_embedding, DEDUP_EMBEDDING_SQL),
     "boilerplate_strip": (q_boilerplate_strip, BOILERPLATE_SQL),
     "boilerplate_cetd": (q_boilerplate_cetd, None),
     "ocr_route": (q_ocr_route, OCR_ROUTE_SQL),

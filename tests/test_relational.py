@@ -22,6 +22,8 @@ SUBSET = [
     "simhash_buckets",
     "ngram_jaccard",
     "ann_ivf",
+    "ann_ivf_multiprobe",
+    "dedup_embedding",
     "boilerplate_strip",
     "ocr_route",
     "ocr_route_report",
