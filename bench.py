@@ -34,6 +34,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "480000"))
 BENCH_DOCS_WIDE = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS_WIDE", "960000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+# Hard wall for the scaling section: quiet-gate waits (up to ~10 min
+# each) times 6 rounds can otherwise stretch a bench past 2h.  Once the
+# deadline passes, no NEW round/attempt starts; whatever rounds exist
+# are reported (a round in flight is never cut short).
+SCALING_DEADLINE_SEC = float(
+    os.environ.get("SPARK_GRAFT_SCALING_DEADLINE_SEC", "3600")
+)
 
 # Bench-only session conf: shuffle/spill on tmpfs removes disk-writeback
 # stalls from timing runs.  Deliberately NOT a build_session default —
@@ -241,6 +248,24 @@ QUIET_NOMINAL = float(os.environ.get("SPARK_GRAFT_QUIET_NOMINAL", "26"))
 # (observed: clean runs with min 16 but avg 24), while a genuine
 # noisy-neighbor episode drags the average down for its whole duration.
 RATE_FLOOR = QUIET_NOMINAL * 0.75
+# ...but a DEEP minimum is theft, not jitter: contested windows show
+# min samples of 0.1-2.8 Miter/s (>90% of the core stolen for 0.25s+)
+# while tripling Spark walls, and the average alone can still clear
+# the floor when the theft is bursty (observed: avg 20.4, min 1.3,
+# local[16] wall 3.5x its clean value).  Jitter on a busy host bottoms
+# out around 5-8; anything below RATE_MIN_FLOOR invalidates the run.
+RATE_MIN_FLOOR = float(os.environ.get("SPARK_GRAFT_RATE_MIN_FLOOR", "4"))
+
+
+def _rate_ok(rate: dict) -> bool:
+    """A leg's in-run host-speed samples pass iff the average clears
+    RATE_FLOOR and no sample dropped into theft territory."""
+    return (
+        rate.get("avg") is not None
+        and rate["avg"] >= RATE_FLOOR
+        and rate.get("min") is not None
+        and rate["min"] >= RATE_MIN_FLOOR
+    )
 
 
 def _wait_for_quiet(nominal: float = QUIET_NOMINAL, attempts: int = 20) -> float:
@@ -394,7 +419,14 @@ def main() -> None:
         # rounds, gates and in-run rates are recorded for audit.
         rounds = []
         quiet = {}
+        t_scaling = time.perf_counter()
         for r in range(6):
+            # time-box: keep ~40% of the deadline for the 8->32 pair;
+            # round 0 always runs so there is always a reportable number
+            if rounds and (
+                time.perf_counter() - t_scaling > SCALING_DEADLINE_SEC * 0.6
+            ):
+                break
             quiet[f"round{r}"] = _wait_for_quiet()
             r4 = _run_extraction(
                 "local[4]", corpus, BENCH_DOCS, n_timed=1, monitor=True
@@ -402,14 +434,10 @@ def main() -> None:
             r16 = _run_extraction(
                 "local[16]", corpus, BENCH_DOCS, n_timed=1, monitor=True
             )
-            avgs = [
-                m for m in (r4["inrun_rate"]["avg"], r16["inrun_rate"]["avg"])
-                if m is not None
-            ]
             valid = (
                 quiet[f"round{r}"] >= QUIET_NOMINAL
-                and avgs
-                and min(avgs) >= RATE_FLOOR
+                and _rate_ok(r4["inrun_rate"])
+                and _rate_ok(r16["inrun_rate"])
             )
             rounds.append(
                 {
@@ -436,23 +464,30 @@ def main() -> None:
         best = by_eff[-1]
         # Secondary pair 8->32 on the wide corpus so BOTH walls stay
         # >= ~45s (amortizing fixed costs; see BENCH_DOCS note above).
-        # local[32] saturates the host, so only the local[8] half is
-        # monitorable; the pair retries once if that half was noisy.
+        # BOTH legs are monitored: at local[32] the sampler thread is
+        # one 12.5%-duty core out of 32 (~0.4% perturbation) — cheap
+        # insurance after an unmonitored local[32] leg let a stolen
+        # window report efficiency 0.275 as "valid".
         corpus_wide = _fixture_corpus(BENCH_DOCS_WIDE)
         attempts_8_32 = []
         for a in range(2):
+            if attempts_8_32 and (
+                time.perf_counter() - t_scaling > SCALING_DEADLINE_SEC
+            ):
+                break
             quiet[f"secondary{a}"] = _wait_for_quiet()
             r8 = _run_extraction(
                 "local[8]", corpus_wide, BENCH_DOCS_WIDE, n_timed=1,
                 monitor=True,
             )
             r32 = _run_extraction(
-                "local[32]", corpus_wide, BENCH_DOCS_WIDE, n_timed=1
+                "local[32]", corpus_wide, BENCH_DOCS_WIDE, n_timed=1,
+                monitor=True,
             )
             a_valid = (
                 quiet[f"secondary{a}"] >= QUIET_NOMINAL
-                and r8["inrun_rate"]["avg"] is not None
-                and r8["inrun_rate"]["avg"] >= RATE_FLOOR
+                and _rate_ok(r8["inrun_rate"])
+                and _rate_ok(r32["inrun_rate"])
             )
             attempts_8_32.append(
                 {
@@ -500,7 +535,9 @@ def main() -> None:
                  "thr_local8": x["r8"]["docs_per_sec"],
                  "thr_local32": x["r32"]["docs_per_sec"],
                  "inrun_min_local8": x["r8"]["inrun_rate"]["min"],
-                 "inrun_avg_local8": x["r8"]["inrun_rate"]["avg"]}
+                 "inrun_avg_local8": x["r8"]["inrun_rate"]["avg"],
+                 "inrun_min_local32": x["r32"]["inrun_rate"]["min"],
+                 "inrun_avg_local32": x["r32"]["inrun_rate"]["avg"]}
                 for x in attempts_8_32
             ],
             "wide_corpus_docs": BENCH_DOCS_WIDE,

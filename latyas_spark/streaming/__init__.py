@@ -1,4 +1,5 @@
 from .ingest import (  # noqa: F401
+    stream_dedup_first_seen,
     stream_extract,
     streaming_span_metrics,
     write_span_batch,

@@ -96,6 +96,80 @@ def stream_extract(
     return writer.start()
 
 
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Cross-batch exact dedup as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState``): the first document carrying each
+    content hash is emitted, every later duplicate — in the same batch
+    or any future one — is dropped.  This is T1 (dedup_exact) lifted to
+    the ingestion stream: dedup-at-ingest avoids re-scanning the
+    accumulated corpus on every landing.
+
+    Scale shape: state is keyed by ``md5(text)``, so it is hash-
+    partitioned across executors by the shuffle that feeds the stateful
+    operator — no single task ever holds the full seen-set, and on a
+    real cluster the state store should be RocksDB
+    (``spark.sql.streaming.stateStore.providerClass``) so the seen-set
+    spills to executor-local disk instead of heap.  State per key is
+    one boolean; 10^12 seen hashes ~ tens of TB of state spread over
+    the fleet, which RocksDB state stores are built for.  Within a
+    batch ties resolve to the minimum doc_id (deterministic); across
+    batches the file-source commit log fixes batch composition, so
+    replays yield identical output.  The sink reuses the idempotent
+    batch_id-partitioned overwrite, keeping exactly-once end to end.
+    """
+    docs = spark.readStream.schema("doc_id string, text string").parquet(
+        input_dir
+    )
+    hashed = docs.select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("content_hash")
+    )
+
+    def keep_first(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            return  # hash emitted in an earlier batch: drop duplicates
+        best = None
+        for pdf in pdf_iter:
+            m = pdf["doc_id"].min()
+            if best is None or m < best:
+                best = m
+        state.update((True,))
+        yield pd.DataFrame({"content_hash": [key[0]], "doc_id": [best]})
+
+    firsts = hashed.groupBy("content_hash").applyInPandasWithState(
+        keep_first,
+        outputStructType="content_hash string, doc_id string",
+        stateStructType="seen boolean",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
+
+    writer = (
+        firsts.writeStream.foreachBatch(process)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_span_metrics(
     span_stream: DataFrame,
     window: str = "1 minute",

@@ -43,6 +43,26 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf001_dir):
     assert n_total >= 100  # fixture sanity: fraction claim is meaningful
 
 
+def test_ann_plans_are_scale_shaped(spark, sf001_dir):
+    """Multi-probe must reach the corpus via a BROADCAST of the tiny
+    probe list (never shuffling 10^12 vectors), and the near-dup plan
+    must contain no cartesian product — its self-join is equi-keyed on
+    (band, sig)."""
+    multi_plan = (
+        R.q_ann_ivf_multiprobe(spark, sf001_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in multi_plan
+    assert "CartesianProduct" not in multi_plan
+
+    dedup_plan = (
+        R.q_dedup_embedding(spark, sf001_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in dedup_plan
+    assert "BroadcastNestedLoopJoin" not in dedup_plan
+
+
 def test_dedup_embedding_candidates_are_bucketed(spark, sf001_dir):
     """Every emitted pair must share at least one (band, sig) bucket —
     i.e. the operator never does all-pairs work — and the cosine must

@@ -129,6 +129,46 @@ def test_streaming_span_metrics_plan_is_streaming(spark):
     assert {"window_start", "window_end", "kind", "n_spans", "n_docs"} <= cols
 
 
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps exactly the first document per
+    content hash ACROSS micro-batches, and the keyed state survives a
+    query restart via the checkpoint (second drain = new query, same
+    checkpoint)."""
+    from latyas_spark.streaming import stream_dedup_first_seen
+
+    in_dir = str(tmp_path / "din")
+    out_dir = str(tmp_path / "dout")
+    ck_dir = str(tmp_path / "dck")
+    os.makedirs(in_dir)
+
+    spark.createDataFrame(
+        [("a", "same text"), ("b", "same text"), ("c", "other text")],
+        "doc_id string, text string",
+    ).write.parquet(f"{in_dir}/part1")
+    q = stream_dedup_first_seen(spark, in_dir + "/*", out_dir, ck_dir)
+    q.awaitTermination(120)
+    first = {
+        (r["content_hash"], r["doc_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # within-batch dedup: min doc_id wins for the duplicated text
+    assert {d for _, d in first} == {"a", "c"}
+
+    # land a second file: one cross-batch duplicate, one new text
+    spark.createDataFrame(
+        [("d", "same text"), ("e", "new text")],
+        "doc_id string, text string",
+    ).write.parquet(f"{in_dir}/part2")
+    q2 = stream_dedup_first_seen(spark, in_dir + "/*", out_dir, ck_dir)
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    docs = sorted(r["doc_id"] for r in rows)
+    assert docs == ["a", "c", "e"]  # d dropped: hash seen in batch 1
+    # one row per distinct content hash, ever
+    hashes = [r["content_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes))
+
+
 def test_stream_retry_same_batch_is_idempotent(spark, tmp_path):
     """A micro-batch retried after a partial write must not duplicate
     rows: the sink partitions by batch_id with dynamic partition
