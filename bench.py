@@ -257,12 +257,26 @@ RATE_FLOOR = QUIET_NOMINAL * 0.75
 RATE_MIN_FLOOR = float(os.environ.get("SPARK_GRAFT_RATE_MIN_FLOOR", "4"))
 
 
-def _rate_ok(rate: dict) -> bool:
+def _rate_ok(rate: dict, width: int | None = None) -> bool:
     """A leg's in-run host-speed samples pass iff the average clears
-    RATE_FLOOR and no sample dropped into theft territory."""
+    the floor and no sample dropped into theft territory.
+
+    ``width`` = the leg's master width.  When the job occupies every
+    host core (width >= host cores), the sampler thread timeshares
+    with a Spark worker instead of landing on an idle core, so its
+    samples read ~50% of true host speed on a perfectly clean host
+    (observed: quiet gate 26.7 -> in-run avg 15.3 at local[32] while
+    the leg itself hit full 19.8k docs/sec throughput).  Gating a
+    full-width leg on the un-adjusted floor can therefore NEVER pass
+    — the r2 run marked a clean 0.908 secondary pair "invalid" this
+    way.  Full-width legs get a contention-halved average floor; the
+    theft floor (RATE_MIN_FLOOR) still applies unchanged, and caught
+    the genuinely-stolen attempt 0 (min 0.5)."""
+    host = os.cpu_count() or 32
+    floor = RATE_FLOOR * 0.5 if (width is not None and width >= host) else RATE_FLOOR
     return (
         rate.get("avg") is not None
-        and rate["avg"] >= RATE_FLOOR
+        and rate["avg"] >= floor
         and rate.get("min") is not None
         and rate["min"] >= RATE_MIN_FLOOR
     )
@@ -436,8 +450,8 @@ def main() -> None:
             )
             valid = (
                 quiet[f"round{r}"] >= QUIET_NOMINAL
-                and _rate_ok(r4["inrun_rate"])
-                and _rate_ok(r16["inrun_rate"])
+                and _rate_ok(r4["inrun_rate"], width=4)
+                and _rate_ok(r16["inrun_rate"], width=16)
             )
             rounds.append(
                 {
@@ -486,8 +500,8 @@ def main() -> None:
             )
             a_valid = (
                 quiet[f"secondary{a}"] >= QUIET_NOMINAL
-                and _rate_ok(r8["inrun_rate"])
-                and _rate_ok(r32["inrun_rate"])
+                and _rate_ok(r8["inrun_rate"], width=8)
+                and _rate_ok(r32["inrun_rate"], width=32)
             )
             attempts_8_32.append(
                 {

@@ -813,8 +813,9 @@ _MINHASH_LANES_SQL = ",\n    ".join(
     f"min(xor(wh, {seed})) AS m{i}" for i, seed in enumerate(MINHASH_SEEDS)
 )
 
-MINHASH_SQL = f"""
-WITH words AS (
+# CTE chain shared by MINHASH_SQL and the cluster/canonical oracles
+# (which extend it with a recursive reachability CTE).
+_MINHASH_CTES = f"""words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word
   FROM documents
 ), hashed AS (
@@ -836,13 +837,97 @@ WITH words AS (
 ), sig_f AS (
   SELECT doc_id, band, sig FROM sig
   QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= {MINHASH_BUCKET_CAP}
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
-FROM sig_f a JOIN sig_f b
-  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
-HAVING COUNT(*) >= 2
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+  FROM sig_f a JOIN sig_f b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 2
+)"""
+
+MINHASH_SQL = f"""
+WITH {_MINHASH_CTES}
+SELECT doc_a, doc_b, shared_bands FROM pairs
 """
+
+# min-reachable-label = connected component (graph.py's propagation
+# expressed as a recursive CTE; rows bounded by sum of component^2,
+# fine at oracle scale).
+_CC_CTES = f"""{_MINHASH_CTES}, bi AS (
+  SELECT doc_a AS n, doc_b AS m FROM pairs
+  UNION
+  SELECT doc_b AS n, doc_a AS m FROM pairs
+), reach(node, peer) AS (
+  SELECT n, n FROM bi
+  UNION
+  SELECT r.node, e.m FROM reach r JOIN bi e ON e.n = r.peer
+), cc AS (
+  SELECT node AS doc_id, min(peer) AS component FROM reach GROUP BY node
+)"""
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_CC_CTES}
+SELECT doc_id, component FROM cc
+"""
+
+DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE {_CC_CTES}, scored AS (
+  SELECT c.component, c.doc_id,
+    row_number() OVER (
+      PARTITION BY c.component
+      ORDER BY length(d.text) DESC, c.doc_id
+    ) AS rn
+  FROM cc c JOIN documents d ON d.doc_id = c.doc_id
+), members AS (
+  SELECT component, COUNT(*) AS n_members FROM cc GROUP BY component
+)
+SELECT s.component, s.doc_id AS rep_doc, m.n_members
+FROM scored s JOIN members m ON m.component = s.component
+WHERE s.rn = 1
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: minhash LSH candidate pairs grouped into
+    connected components (graph.py min-label propagation; the oracle is
+    the same fixpoint as a recursive CTE).  One row per doc that has at
+    least one near-dup candidate; ``component`` = min doc_id of its
+    cluster.  This is the stage between pair generation and drop-list
+    emission in a production dedup pipeline (pairs alone over-count:
+    A~B, B~C must drop ONE of {A,B,C}'s dups, not two independent
+    pairs)."""
+    from .graph import connected_components
+
+    pairs = q_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical representative per near-dup cluster: keep the longest
+    text (quality proxy), tie-broken by min doc_id; ``n_members - 1``
+    docs per cluster land on the drop-list.  Join back to documents is
+    keyed on doc_id (cluster output is tiny vs corpus, so at scale this
+    side is broadcast by AQE); the rank is a per-component window over
+    bounded groups (component size <= candidate-graph cluster size,
+    degree-capped upstream)."""
+    docs = _read(spark, sf_dir, "documents")
+    cc = q_dedup_clusters(spark, sf_dir)
+    scored = cc.join(
+        docs.select("doc_id", F.length("text").alias("len")), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("len").desc(), F.col("doc_id")
+    )
+    counts = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("rep_doc"))
+        .join(counts, "component")
+    )
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1440,6 +1525,73 @@ FROM documents
 """
 
 
+# Per-language keep rates (permille) for the corpus-mix resample.
+# Languages absent from the table default to keep-all (1000) so new
+# languages never silently vanish from the corpus.  'fr' is deliberately
+# unlisted to keep that default exercised by the correctness gate.
+MIX_QUOTA_PERMILLE = {"en": 600, "zh": 900, "es": 700, "de": 500}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling / corpus mixing: keep each doc
+    iff ``md5('mix:' || doc_id) % 1000 < quota(lang)`` and report the
+    per-language doc/token mass before and after.
+
+    This is how a 100 TB corpus is remixed reproducibly: the keep
+    decision is a pure function of (doc_id, quota table) — no RNG
+    state, no sampling seed coordination across executors, rerunning
+    on any cluster layout yields the identical subset.  Plan shape:
+    narrow map (hash + token count) + broadcast join on the tiny quota
+    dim + one partial-aggregated groupBy(lang) — the only shuffle
+    carries |langs| partial rows per task."""
+    docs = _read(spark, sf_dir, "documents")
+    quota = spark.createDataFrame(
+        sorted(MIX_QUOTA_PERMILLE.items()), "lang string, permille int"
+    )
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('mix:', cast(doc_id as string)))"
+        ", 1, 8), 16, 10) as bigint) % 1000"
+    )
+    toks = F.size(F.split(F.trim(F.col("text")), " +"))
+    scored = docs.select(
+        "lang", bucket.alias("bucket"), toks.alias("n_tokens")
+    )
+    joined = scored.join(F.broadcast(quota), "lang", "left").withColumn(
+        "permille", F.coalesce("permille", F.lit(1000))
+    )
+    kept = (F.col("bucket") < F.col("permille")).cast("int")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(F.col("n_tokens") * kept).alias("tokens_kept"),
+    )
+
+
+_MIX_QUOTA_VALUES = ", ".join(
+    f"('{k}', {v})" for k, v in sorted(MIX_QUOTA_PERMILLE.items())
+)
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH quota(lang, permille) AS (
+  VALUES {_MIX_QUOTA_VALUES}
+), scored AS (
+  SELECT lang,
+    CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      AS BIGINT) % 1000 AS bucket,
+    len(string_split_regex(trim(text), ' +')) AS n_tokens
+  FROM documents
+)
+SELECT s.lang,
+  COUNT(*) AS n_in,
+  CAST(SUM(CASE WHEN s.bucket < COALESCE(q.permille, 1000)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN s.bucket < COALESCE(q.permille, 1000)
+    THEN s.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM scored s LEFT JOIN quota q ON q.lang = s.lang
+GROUP BY s.lang
+"""
+
+
 # -- flagship extraction (not SQL-expressible: rows-only check) ------------
 
 
@@ -1791,12 +1943,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "levenshtein_arbitration": (q_levenshtein_arbitration, LEVENSHTEIN_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "minhash_pairs": (q_minhash_pairs, MINHASH_SQL),
+    "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_canonical": (q_dedup_canonical, DEDUP_CANONICAL_SQL),
     "simhash_buckets": (q_simhash_buckets, SIMHASH_SQL),
     "cosine_topk": (q_cosine_topk, COSINE_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "quality_score": (q_quality_score, QUALITY_SQL),
     "langid": (q_langid, LANGID_SQL),
     "fingerprint": (q_fingerprint, FINGERPRINT_SQL),
+    "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "ann_ivf": (q_ann_ivf, ANN_IVF_SQL),
     "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, ANN_IVF_MULTIPROBE_SQL),

@@ -1,0 +1,82 @@
+"""Targeted rerun of the 8->32 secondary scaling pair only.
+
+Reuses bench.py's corpus, extraction runner, quiet gate, in-run
+monitor and validity rules (including the width-aware floor for
+full-width legs) so the number is produced by the exact audited code
+path — it just skips the ~45-min headline + 4->16 section.  Appends a
+timestamped record to BENCH/SECONDARY.md and prints one JSON line.
+
+Usage:  PYTHONPATH=/root/repo python scripts/bench_secondary.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SECONDARY_ATTEMPTS", "3"))
+
+
+def main() -> None:
+    corpus = bench._fixture_corpus(bench.BENCH_DOCS_WIDE)
+    attempts = []
+    for a in range(MAX_ATTEMPTS):
+        gate = bench._wait_for_quiet()
+        r8 = bench._run_extraction(
+            "local[8]", corpus, bench.BENCH_DOCS_WIDE, n_timed=1,
+            monitor=True,
+        )
+        r32 = bench._run_extraction(
+            "local[32]", corpus, bench.BENCH_DOCS_WIDE, n_timed=1,
+            monitor=True,
+        )
+        valid = (
+            gate >= bench.QUIET_NOMINAL
+            and bench._rate_ok(r8["inrun_rate"], width=8)
+            and bench._rate_ok(r32["inrun_rate"], width=32)
+        )
+        attempts.append(
+            {
+                "attempt": a,
+                "quiet_gate": gate,
+                "valid": bool(valid),
+                "efficiency": round(
+                    (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0, 3
+                ),
+                "thr_local8": r8["docs_per_sec"],
+                "thr_local32": r32["docs_per_sec"],
+                "wall_local8": r8["wall_sec"],
+                "wall_local32": r32["wall_sec"],
+                "inrun_local8": r8["inrun_rate"],
+                "inrun_local32": r32["inrun_rate"],
+            }
+        )
+        if valid:
+            break
+    chosen = next((x for x in attempts if x["valid"]), attempts[-1])
+    result = {
+        "metric": "secondary_8_32_efficiency",
+        "value": chosen["efficiency"],
+        "unit": "ratio",
+        "valid": chosen["valid"],
+        "wide_corpus_docs": bench.BENCH_DOCS_WIDE,
+        "attempts": attempts,
+        "cpu_ceiling": bench._cpu_ceiling(),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/SECONDARY.md", "a") as f:
+        f.write(
+            f"\n## rerun @ {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())}\n\n"
+            f"```json\n{json.dumps(result, indent=1)}\n```\n"
+        )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

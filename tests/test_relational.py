@@ -19,8 +19,11 @@ SUBSET = [
     "grid_rank",
     "cosine_topk",
     "minhash_pairs",
+    "dedup_clusters",
+    "dedup_canonical",
     "simhash_buckets",
     "ngram_jaccard",
+    "stratified_sample",
     "ann_ivf",
     "ann_ivf_multiprobe",
     "dedup_embedding",
