@@ -1487,6 +1487,56 @@ FROM f
 """
 
 
+def q_rep_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition measure: word trigrams per
+    doc, reporting total grams and how many are duplicate instances
+    (``n_dup = n_grams - n_distinct``; the dup FRACTION is n_dup /
+    n_grams, left to the consumer so the output stays integer-exact
+    across engines).
+
+    Scale shape: repetition is a doc-LOCAL property, so this must not
+    explode ngrams into rows and re-group (that shuffles the whole
+    corpus by (doc_id, gram)).  Instead the trigram array is built and
+    deduped inside one projection with JVM higher-order functions
+    (transform/array_distinct) — zero shuffles, whole-stage codegen,
+    scan-to-output narrow at any corpus size."""
+    docs = _read(spark, sf_dir, "documents")
+    grams = F.expr(
+        "CASE WHEN size(ws) < 3 THEN cast(array() as array<string>) "
+        "ELSE transform(sequence(0, size(ws) - 3), "
+        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) END"
+    )
+    return (
+        docs.select(
+            "doc_id", F.split(F.trim(F.col("text")), " +").alias("ws")
+        )
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").cast("bigint").alias("n_grams"),
+            (F.size("grams") - F.size(F.array_distinct("grams")))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+
+
+REP_NGRAMS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(len(ws) - 1, 1)),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams
+  FROM w
+)
+SELECT doc_id,
+  CAST(len(grams) AS BIGINT) AS n_grams,
+  CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup
+FROM g
+"""
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (charset + stopword) vs the label column."""
     docs = _read(spark, sf_dir, "documents")
@@ -1509,6 +1559,66 @@ SELECT lang,
        ELSE 'other' END AS pred_lang,
   COUNT(*) AS n_docs
 FROM documents GROUP BY 1, 2
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: redact email-shaped and long-digit-run tokens,
+    reporting per-doc hit counts and the md5 of the scrubbed text (the
+    hash keeps the gate value-exact without shipping full text through
+    the compare).
+
+    The patterns stay within the regex subset that Java (Spark) and
+    RE2 (DuckDB) interpret identically — character classes, +, {n,} —
+    no backrefs or lookarounds (RE2 lacks them).  The synthetic corpus
+    contains no PII, so each doc's text is first salted with a
+    deterministic doc_id-derived email and digit run — this keeps
+    every row exercising BOTH patterns (a scrub pass that never
+    matches is an untested scrub pass).  Plan shape: pure narrow
+    projection, zero shuffle, codegen'd regexp_replace; at 100 TB this
+    runs at scan speed, the cheapest possible pass shape (same as
+    fingerprint/token_stats)."""
+    docs = _read(spark, sf_dir, "documents")
+    email = "[a-zA-Z0-9._-]+@[a-zA-Z0-9.-]+"
+    digits = "[0-9]{9,}"
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref 10000"),
+        F.col("doc_id").cast("string"),
+        F.lit("9999"),
+    )
+    step1 = F.regexp_replace(aug, email, "<EMAIL>")
+    n_email = F.size(F.split(aug, email)) - 1
+    n_digits = F.size(F.split(step1, digits)) - 1
+    scrubbed = F.regexp_replace(step1, digits, "<NUM>")
+    return docs.select(
+        "doc_id",
+        n_email.cast("bigint").alias("n_email"),
+        n_digits.cast("bigint").alias("n_digits"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+PII_SCRUB_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact u' || CAST(doc_id AS VARCHAR)
+      || '@example.com ref 10000' || CAST(doc_id AS VARCHAR) || '9999'
+      AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id, t,
+    regexp_replace(t, '[a-zA-Z0-9._-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g') AS t1
+  FROM aug
+)
+SELECT doc_id,
+  CAST(len(string_split_regex(t, '[a-zA-Z0-9._-]+@[a-zA-Z0-9.-]+')) - 1
+    AS BIGINT) AS n_email,
+  CAST(len(string_split_regex(t1, '[0-9]{9,}')) - 1 AS BIGINT) AS n_digits,
+  md5(regexp_replace(t1, '[0-9]{9,}', '<NUM>', 'g')) AS scrubbed_md5
+FROM s1
 """
 
 
@@ -1950,6 +2060,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "quality_score": (q_quality_score, QUALITY_SQL),
     "langid": (q_langid, LANGID_SQL),
+    "rep_ngrams": (q_rep_ngrams, REP_NGRAMS_SQL),
+    "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),
     "fingerprint": (q_fingerprint, FINGERPRINT_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),

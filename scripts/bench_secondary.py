@@ -20,7 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
 
-MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SECONDARY_ATTEMPTS", "3"))
+MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SECONDARY_ATTEMPTS", "6"))
+# Collect several VALID attempts and report their MEDIAN: host speed
+# drifts between the local[8] and local[32] legs of a single attempt
+# (observed per-window busy-loop ceilings 0.754 vs 0.865 an hour
+# apart), so one valid attempt is still a noisy ratio — same
+# median-of-valid methodology as bench.py's 4->16 rounds.
+TARGET_VALID = int(os.environ.get("SPARK_GRAFT_SECONDARY_VALID", "3"))
 
 
 def main() -> None:
@@ -57,14 +63,18 @@ def main() -> None:
                 "inrun_local32": r32["inrun_rate"],
             }
         )
-        if valid:
+        if sum(1 for x in attempts if x["valid"]) >= TARGET_VALID:
             break
-    chosen = next((x for x in attempts if x["valid"]), attempts[-1])
+    valid_attempts = [x for x in attempts if x["valid"]] or attempts
+    by_eff = sorted(valid_attempts, key=lambda x: x["efficiency"])
+    chosen = by_eff[len(by_eff) // 2]
     result = {
         "metric": "secondary_8_32_efficiency",
         "value": chosen["efficiency"],
         "unit": "ratio",
         "valid": chosen["valid"],
+        "n_valid": sum(1 for x in attempts if x["valid"]),
+        "median_of_valid": chosen["efficiency"],
         "wide_corpus_docs": bench.BENCH_DOCS_WIDE,
         "attempts": attempts,
         "cpu_ceiling": bench._cpu_ceiling(),

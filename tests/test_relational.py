@@ -24,6 +24,8 @@ SUBSET = [
     "simhash_buckets",
     "ngram_jaccard",
     "stratified_sample",
+    "rep_ngrams",
+    "pii_scrub",
     "ann_ivf",
     "ann_ivf_multiprobe",
     "dedup_embedding",
