@@ -113,3 +113,18 @@ def test_no_per_row_python_udfs_anywhere():
         if re.search(r"F\.udf\(|@udf\b|pandas_udf\(.*PandasUDFType\.SCALAR_ITER", src):
             bad.append(str(p))
     assert not bad, f"per-row/legacy UDF usage in: {bad}"
+
+
+def test_scan_speed_ops_have_zero_shuffle(spark, sf001_dir):
+    """The per-doc text passes (repetition, PII scrub, fingerprint,
+    token stats) are doc-local: their plans must contain no Exchange —
+    at 100 TB an accidental shuffle would turn a scan-speed pass into
+    a corpus-wide network copy."""
+    from latyas_spark.relational import registry as R
+
+    for q in (R.q_rep_ngrams, R.q_pii_scrub, R.q_fingerprint, R.q_token_stats):
+        plan = (
+            q(spark, sf001_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, q.__name__
