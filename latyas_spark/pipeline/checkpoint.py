@@ -24,6 +24,8 @@ identical.
 
 from __future__ import annotations
 
+import dataclasses
+import hashlib
 import json
 import os
 import time
@@ -34,6 +36,23 @@ from pyspark.sql import functions as F
 
 from ..core.document import DEFAULT_CONFIG, ExtractConfig
 from .extract import MEGA_THRESHOLD, extract_spans_flat
+
+
+def config_fingerprint(cfg: ExtractConfig, mega_threshold: int) -> str:
+    """Deterministic sha256 of everything that shapes the output: the
+    ExtractConfig fields (frozensets canonicalized — their repr order
+    is not stable) and the mega-doc threshold.  Recorded in every
+    bucket manifest so resume can refuse config drift; callers using
+    hub-resolved rule tables (rulehub.py) get this for free since the
+    rules land in cfg.ruled_kinds."""
+    parts = []
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if isinstance(v, frozenset):
+            v = sorted(v)
+        parts.append(f"{f.name}={v!r}")
+    parts.append(f"mega_threshold={mega_threshold}")
+    return hashlib.sha256(";".join(parts).encode()).hexdigest()
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -92,9 +111,23 @@ def run_checkpointed(
     throughput, not the resume contract).  Keep 1 for deterministic
     failure-injection tests; a real cluster wants 2-4.
     """
+    fp = config_fingerprint(cfg, mega_threshold)
     bucketed = with_bucket(joined, n_buckets)
     done = set(completed_buckets(out_dir))
     todo = [b for b in range(n_buckets) if b not in done]
+
+    # Resume-compatibility guard: completed buckets were produced under
+    # some config; silently extracting the REMAINING buckets under a
+    # different one would mix two rule regimes in one output dataset.
+    for b in sorted(done):
+        with open(os.path.join(_ckpt_dir(out_dir), f"bucket_{b}.json")) as f:
+            prev = json.load(f).get("config_sha")
+        if prev is not None and prev != fp:
+            raise ValueError(
+                f"resume config drift: bucket {b} was extracted under "
+                f"config_sha {prev[:12]}..., this run is {fp[:12]}...; "
+                "finish with the original config or write to a new out_dir"
+            )
 
     import threading
 
@@ -129,6 +162,7 @@ def run_checkpointed(
                 "run_id": run_id,
                 "bucket": b,
                 "status": "done",
+                "config_sha": fp,
                 "spans": n_spans,
                 "wall_sec": round(time.perf_counter() - t0, 3),
                 "lineage": lineage_rows,

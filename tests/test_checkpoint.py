@@ -88,3 +88,30 @@ def test_concurrent_buckets_equal_sequential(spark, joined, tmp_path):
     assert _collect(read_checkpointed(spark, out_s)) == _collect(
         read_checkpointed(spark, out_c)
     )
+
+
+def test_resume_refuses_config_drift(spark, joined, tmp_path):
+    """Completed buckets record the config fingerprint; resuming with a
+    different ExtractConfig must fail loudly instead of mixing two rule
+    regimes in one output dataset."""
+    from latyas_spark.core.document import ExtractConfig
+    from latyas_spark.pipeline.checkpoint import config_fingerprint
+
+    out = str(tmp_path / "drift")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(spark, joined, out, n_buckets=4, fail_after=2)
+    assert len(completed_buckets(out)) == 2
+
+    drifted = ExtractConfig(conf_threshold=0.5)
+    with pytest.raises(ValueError, match="resume config drift"):
+        run_checkpointed(spark, joined, out, n_buckets=4, cfg=drifted)
+
+    # same config resumes fine; fingerprint is deterministic and
+    # frozenset-order-independent
+    assert config_fingerprint(
+        ExtractConfig(ruled_kinds=frozenset({1, 2, 3})), 100
+    ) == config_fingerprint(
+        ExtractConfig(ruled_kinds=frozenset({3, 2, 1})), 100
+    )
+    summary = run_checkpointed(spark, joined, out, n_buckets=4)
+    assert summary["buckets_done"] == 2 and summary["buckets_skipped"] == 2
