@@ -80,6 +80,8 @@ HEADLINE = [
     "dual_arbitrate",
     "dual_extract",
     "quality_score",
+    "table_cells",
+    "table_export",
     "flagship_extract",
     "flagship_simple",
 ]

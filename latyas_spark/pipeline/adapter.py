@@ -210,6 +210,119 @@ FROM stacked
 """
 
 
+def synth_table_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet -> detected table-structure objects (M11 input
+    shape): per table, row/column/header boxes plus text tokens, as one
+    unioned frame (table_id, obj_type, x1..y2, text, token_num).
+
+    Deterministic family mirrored in registry.TABLE_CELLS_SQL:
+
+      * t = event_id % 40 tables; R = 3 + t%3 rows, C = 2 + (t+1)%3
+        columns; tables with t even have a column header over row 0;
+      * structure boxes get expansion-only jitter (<= 4px) so the
+        kernel's center-sort / iob logic does real work without
+        changing any containment outcome;
+      * each event contributes one token to cell
+        (r, c) = ((7k+t)%R, (11k+t)%C), k = event_id div 40, strictly
+        inside the cell (so max-overlap slotting is provably unique
+        and the SQL oracle can assign tokens arithmetically).  The
+        multipliers 7 and 11 are coprime to every R/C value, so r and
+        c both cycle with k.  (r+c parity is correlated by
+        construction, leaving some cells token-less — that exercises
+        the empty-cell CSV/HTML paths.)
+
+    In production these objects come from the structure detector (an
+    M-row model plug point); this synth derivation exists so the
+    deterministic assembly half is oracle-checkable end-to-end.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    base = ev.select(
+        "event_id",
+        "event_type",
+        (F.col("event_id") % 40).alias("t"),
+        F.expr("event_id div 40").alias("k"),
+    ).withColumn("R", F.lit(3) + F.col("t") % 3).withColumn(
+        "C", F.lit(2) + (F.col("t") + 1) % 3
+    )
+    table_id = F.concat(
+        F.lit("tbl-"), F.lpad(F.col("t").cast("string"), 3, "0")
+    )
+    null_s = F.lit(None).cast("string")
+
+    tokens = base.select(
+        table_id.alias("table_id"),
+        F.lit("token").alias("obj_type"),
+        (
+            ((F.col("k") * 11 + F.col("t")) % F.col("C")) * 80
+            + 20 + F.col("k") % 7
+        ).cast("double").alias("x1"),
+        (
+            ((F.col("k") * 7 + F.col("t")) % F.col("R")) * 100
+            + 30 + F.col("k") % 11
+        ).cast("double").alias("y1"),
+        F.lit(None).cast("double").alias("x2"),
+        F.lit(None).cast("double").alias("y2"),
+        F.concat("event_type", F.lit(" "), F.col("event_id").cast("string"))
+        .alias("text"),
+        F.col("event_id").alias("token_num"),
+    ).select(
+        "table_id", "obj_type", "x1", "y1",
+        (F.col("x1") + 30).alias("x2"),
+        (F.col("y1") + 40).alias("y2"),
+        "text", "token_num",
+    )
+
+    # one row per distinct table: 40 rows — a tiny distinct, test-only
+    # (production structure boxes arrive from the detector per page)
+    tables = base.select("t", "R", "C").distinct()
+    rows_obj = tables.select(
+        "t", "C",
+        F.explode(F.sequence(F.lit(0), F.col("R") - 1)).alias("r"),
+    ).select(
+        table_id.alias("table_id"),
+        F.lit("row").alias("obj_type"),
+        (-(F.col("t") % 3)).cast("double").alias("x1"),
+        (F.col("r") * 100 - (F.col("t") + F.col("r")) % 4)
+        .cast("double").alias("y1"),
+        (F.col("C") * 80 + F.col("t") % 5).cast("double").alias("x2"),
+        ((F.col("r") + 1) * 100 + (F.col("t") + 3 * F.col("r")) % 4)
+        .cast("double").alias("y2"),
+        null_s.alias("text"),
+        F.lit(-1).cast("long").alias("token_num"),
+    )
+    cols_obj = tables.select(
+        "t", "R",
+        F.explode(F.sequence(F.lit(0), F.col("C") - 1)).alias("c"),
+    ).select(
+        table_id.alias("table_id"),
+        F.lit("column").alias("obj_type"),
+        (F.col("c") * 80 - (F.col("t") + F.col("c")) % 4)
+        .cast("double").alias("x1"),
+        (-(F.col("t") % 3)).cast("double").alias("y1"),
+        ((F.col("c") + 1) * 80 + (F.col("t") + 3 * F.col("c")) % 4)
+        .cast("double").alias("x2"),
+        (F.col("R") * 100 + F.col("t") % 5).cast("double").alias("y2"),
+        null_s.alias("text"),
+        F.lit(-1).cast("long").alias("token_num"),
+    )
+    # header box == row 0's exact bbox, only for even t
+    header_obj = tables.filter(F.col("t") % 2 == 0).select(
+        table_id.alias("table_id"),
+        F.lit("header").alias("obj_type"),
+        (-(F.col("t") % 3)).cast("double").alias("x1"),
+        (-(F.col("t") % 4)).cast("double").alias("y1"),
+        (F.col("C") * 80 + F.col("t") % 5).cast("double").alias("x2"),
+        (F.lit(100) + F.col("t") % 4).cast("double").alias("y2"),
+        null_s.alias("text"),
+        F.lit(-1).cast("long").alias("token_num"),
+    )
+    return tokens.unionByName(rows_obj).unionByName(cols_obj).unionByName(
+        header_obj
+    )
+
+
 # DuckDB mirror of synth_blocks (same arithmetic, same column names).
 SYNTH_BLOCKS_SQL = """
 WITH base AS (

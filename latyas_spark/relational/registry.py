@@ -2034,6 +2034,172 @@ def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans_flat(synth_blocks(spark, sf_dir))
 
 
+# -- table-structure assembly (M11 deterministic core) ---------------------
+
+_TABLE_CELLS_SCHEMA = (
+    "table_id string, row_num int, col_num int, is_header boolean, "
+    "cell_text string"
+)
+
+_TABLE_EXPORT_SCHEMA = "table_id string, csv string, html string"
+
+
+def _table_cells_kernel(pdf):
+    """One table's detected objects -> cell rows (pandas in/out)."""
+    import pandas as pd
+
+    from ..core.tablestruct import assemble_from_frame
+
+    cells = assemble_from_frame(pdf)
+    return pd.DataFrame(
+        {
+            "table_id": pd.Series(
+                [pdf["table_id"].iloc[0]] * len(cells), dtype=object
+            ),
+            "row_num": pd.Series(
+                [min(c["row_nums"]) for c in cells], dtype="int32"
+            ),
+            "col_num": pd.Series(
+                [min(c["col_nums"]) for c in cells], dtype="int32"
+            ),
+            "is_header": pd.Series(
+                [bool(c["header"]) for c in cells], dtype=bool
+            ),
+            "cell_text": pd.Series(
+                [c.get("text", "") for c in cells], dtype=object
+            ),
+        }
+    )
+
+
+def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 table-structure assembly: detected row/column/header boxes +
+    page tokens -> consistent cell grid with header flags and slotted
+    cell text (tatr/pipeline.py:299-513 re-derived in
+    core/tablestruct.py).  Grouped applyInPandas on table_id — at
+    corpus scale the key is (doc_id, page, table_idx): billions of tiny
+    groups, one shuffle, no skew."""
+    from ..pipeline.adapter import synth_table_objects
+
+    objs = synth_table_objects(spark, sf_dir)
+    return objs.groupBy("table_id").applyInPandas(
+        lambda pdf: _table_cells_kernel(pdf), schema=_TABLE_CELLS_SCHEMA
+    )
+
+
+def q_table_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 export stage: assembled cells -> CSV (header flattening with
+    ' | ' de-dup join, tatr/pipeline.py:516-542) and HTML
+    (thead-per-header-row, colspan/rowspan, pipeline.py:544-573), one
+    row per table."""
+    import pandas as pd
+
+    from ..core.tablestruct import (
+        assemble_from_frame,
+        cells_to_csv,
+        cells_to_html,
+    )
+    from ..pipeline.adapter import synth_table_objects
+
+    def run(pdf):
+        cells = assemble_from_frame(pdf)
+        return pd.DataFrame(
+            {
+                "table_id": [pdf["table_id"].iloc[0]],
+                "csv": [cells_to_csv(cells)],
+                "html": [cells_to_html(cells)],
+            }
+        )
+
+    objs = synth_table_objects(spark, sf_dir)
+    return objs.groupBy("table_id").applyInPandas(
+        run, schema=_TABLE_EXPORT_SCHEMA
+    )
+
+
+# Shared CTE prefix mirroring adapter.synth_table_objects's family
+# arithmetic (cell identity + token assignment are provable from the
+# construction, so the oracle needs no geometry).
+_TABLE_FAMILY_CTE = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         event_id % 40 AS t,
+         event_id // 40 AS k
+  FROM events
+), dims AS (
+  SELECT DISTINCT t, 3 + t % 3 AS R, 2 + (t + 1) % 3 AS C FROM ev
+), toks AS (
+  SELECT 'tbl-' || lpad(CAST(t AS VARCHAR), 3, '0') AS table_id,
+         CAST((7 * k + t) % R AS INT) AS row_num,
+         CAST((11 * k + t) % C AS INT) AS col_num,
+         event_type || ' ' || CAST(event_id AS VARCHAR) AS text,
+         event_id
+  FROM ev JOIN dims USING (t)
+), rows_cte AS (
+  SELECT t, C, unnest(range(0, R)) AS row_num FROM dims
+), cells AS (
+  SELECT 'tbl-' || lpad(CAST(t AS VARCHAR), 3, '0') AS table_id,
+         t, CAST(row_num AS INT) AS row_num,
+         CAST(unnest(range(0, C)) AS INT) AS col_num
+  FROM rows_cte
+), filled AS (
+  SELECT c.table_id, c.t, c.row_num, c.col_num,
+         (c.t % 2 = 0 AND c.row_num = 0) AS is_header,
+         coalesce(string_agg(k.text, ' ' ORDER BY k.event_id), '')
+           AS cell_text
+  FROM cells c
+  LEFT JOIN toks k
+    ON k.table_id = c.table_id AND k.row_num = c.row_num
+   AND k.col_num = c.col_num
+  GROUP BY c.table_id, c.t, c.row_num, c.col_num
+)
+"""
+
+TABLE_CELLS_SQL = (
+    _TABLE_FAMILY_CTE
+    + """
+SELECT table_id, row_num, col_num, is_header, cell_text FROM filled
+"""
+)
+
+TABLE_EXPORT_SQL = (
+    _TABLE_FAMILY_CTE
+    + """
+, rows_txt AS (
+  SELECT table_id, t, row_num, is_header,
+         string_agg(cell_text, ',' ORDER BY col_num) AS csv_line,
+         string_agg(
+           CASE WHEN is_header THEN '<th>' || cell_text || '</th>'
+                ELSE '<td>' || cell_text || '</td>' END,
+           '' ORDER BY col_num) AS html_cells
+  FROM filled
+  GROUP BY table_id, t, row_num, is_header
+)
+SELECT rt.table_id,
+  CASE WHEN rt.t % 2 = 0
+    THEN max(CASE WHEN rt.row_num = 0 THEN rt.csv_line END)
+         || chr(10)
+         || string_agg(
+              CASE WHEN rt.row_num > 0 THEN rt.csv_line END,
+              chr(10) ORDER BY rt.row_num)
+         || chr(10)
+    ELSE repeat(',', d.C - 1) || chr(10)
+         || string_agg(rt.csv_line, chr(10) ORDER BY rt.row_num)
+         || chr(10)
+  END AS csv,
+  '<table>'
+  || string_agg(
+       CASE WHEN rt.is_header
+            THEN '<thead>' || rt.html_cells || '</thead>'
+            ELSE '<tr>' || rt.html_cells || '</tr>' END,
+       '' ORDER BY rt.row_num)
+  || '</table>' AS html
+FROM rows_txt rt JOIN dims d ON d.t = rt.t
+GROUP BY rt.table_id, rt.t, d.C
+"""
+)
+
+
 # -- registry --------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
@@ -2078,6 +2244,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship_extract": (q_flagship_extract, None),
     "flagship_simple": (q_flagship_simple, FLAGSHIP_SIMPLE_SQL),
     "dual_extract": (q_dual_extract, None),
+    "table_cells": (q_table_cells, TABLE_CELLS_SQL),
+    "table_export": (q_table_export, TABLE_EXPORT_SQL),
 }
 
 
