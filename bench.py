@@ -82,6 +82,9 @@ HEADLINE = [
     "quality_score",
     "table_cells",
     "table_export",
+    "pad_plan",
+    "media_bg_mode",
+    "viz_overlay",
     "flagship_extract",
     "flagship_simple",
 ]

@@ -101,3 +101,90 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
     shaped = media.repartition(F.pmod(F.xxhash64("media_ref"), F.lit(64)))
     return shaped.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RENDER_SCHEMA = (
+    "doc_id string, page int, scale int, width int, height int, "
+    "payload binary"
+)
+
+
+def render_pages(pages: DataFrame, scale: int = 2) -> DataFrame:
+    """S2/S3 page-raster source: (doc_id, page) -> rendered raster rows.
+
+    The rasterizer is a plug point (core/imageops.register_renderer);
+    the default is a deterministic fake (md5 payload, A4 x scale dims)
+    so the Spark plumbing — schema, Arrow batching, salt repartition
+    before the expensive render — is real and tested without a PDF lib
+    in the container.  scale=2 matches the reference's render constant
+    (base_pipeline.py:95-102), which the C7 text-layer projection
+    divides by (coordinate parity).
+    """
+    from typing import Iterator
+
+    from ..core import imageops
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = {
+                "doc_id": [], "page": [], "scale": [], "width": [],
+                "height": [], "payload": [],
+            }
+            for doc_id, page in zip(pdf["doc_id"], pdf["page"]):
+                w, h, payload = imageops.render_one(
+                    str(doc_id), int(page), scale
+                )
+                out["doc_id"].append(doc_id)
+                out["page"].append(int(page))
+                out["scale"].append(scale)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["payload"].append(payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype=object),
+                    "page": pd.Series(out["page"], dtype="int32"),
+                    "scale": pd.Series(out["scale"], dtype="int32"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "payload": pd.Series(out["payload"], dtype=object),
+                }
+            )
+
+    distinct_pages = pages.select("doc_id", "page").distinct()
+    # render is the expensive step at scale: spread pages evenly,
+    # independent of upstream layout (same rationale as decode above)
+    shaped = distinct_pages.repartition(
+        F.pmod(F.xxhash64("doc_id", "page"), F.lit(64))
+    )
+    return shaped.mapInPandas(run, schema=RENDER_SCHEMA)
+
+
+def read_media_dir(spark, path: str) -> DataFrame:
+    """S5 image-file source: spark.read.format('binaryFile') over a
+    directory -> rows in the media-table shape (auto_labelme.py:23-34's
+    cv2.imread glob loop, Spark-native).  Width/height come from the
+    registered prober (default: deterministic fake from the payload,
+    matching fake_decode's contract)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.*")
+        .load(path)
+    )
+    ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    media_type = (
+        F.when(ext.isin("jpg", "jpeg"), "image/jpeg")
+        .when(ext == "png", "image/png")
+        .when(ext == "mp4", "video/mp4")
+        .otherwise(F.concat(F.lit("application/"), ext))
+    )
+    return raw.select(
+        F.col("path").alias("media_ref"),
+        media_type.alias("media_type"),
+        ((F.abs(F.xxhash64("path", F.lit(1))) % 64) + 16)
+        .cast("int").alias("width"),
+        ((F.abs(F.xxhash64("path", F.lit(2))) % 64) + 16)
+        .cast("int").alias("height"),
+        F.length(F.col("content")).cast("int").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )

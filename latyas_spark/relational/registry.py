@@ -2034,6 +2034,214 @@ def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans_flat(synth_blocks(spark, sf_dir))
 
 
+# -- raster-side operators (F8 / A4 / S8) -----------------------------------
+
+
+def _media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media rows with DuckDB-mirrorable dims: the event id embedded in
+    media_ref ('media://<eid>') drives width/height arithmetically
+    (synth_media's xxhash dims aren't SQL-portable)."""
+    b = synth_blocks(spark, sf_dir).filter(F.col("media_ref").isNotNull())
+    eid = F.substring("media_ref", 9, 32).cast("long")
+    return b.select(
+        "media_ref",
+        (F.lit(16) + (eid * 13) % 777).cast("int").alias("width"),
+        (F.lit(16) + (eid * 29) % 555).cast("int").alias("height"),
+    )
+
+
+_MEDIA_DIMS_CTE = (
+    _blocks_cte()
+    + """
+, media AS (
+  SELECT media_ref,
+         CAST(16 + (CAST(substr(media_ref, 9) AS BIGINT) * 13) % 777
+              AS INT) AS width,
+         CAST(16 + (CAST(substr(media_ref, 9) AS BIGINT) * 29) % 555
+              AS INT) AS height
+  FROM blocks WHERE media_ref IS NOT NULL
+)
+"""
+)
+
+
+def q_pad_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 small-image pad geometry (ocr_utils.py:31-56): 2x resize,
+    +160px margin per side, centered on a >=800px canvas.  The raster
+    path lives in core/imageops.small_image_padding; this query is the
+    exact output-geometry plan (what a downstream OCR model adapter
+    needs to map coordinates back)."""
+    m = _media_dims(spark, sf_dir)
+    mw = (F.col("width") * 2 + 320).cast("int")
+    mh = (F.col("height") * 2 + 320).cast("int")
+    bg_w = F.greatest(mw, F.lit(800))
+    bg_h = F.greatest(mh, F.lit(800))
+    return m.select(
+        "media_ref",
+        "width",
+        "height",
+        mw.alias("padded_w"),
+        mh.alias("padded_h"),
+        bg_w.alias("bg_w"),
+        bg_h.alias("bg_h"),
+        ((bg_w - mw) / 2).cast("int").alias("x_off"),
+        ((bg_h - mh) / 2).cast("int").alias("y_off"),
+    )
+
+
+PAD_PLAN_SQL = (
+    _MEDIA_DIMS_CTE
+    + """
+SELECT media_ref, width, height,
+       CAST(width * 2 + 320 AS INT) AS padded_w,
+       CAST(height * 2 + 320 AS INT) AS padded_h,
+       CAST(greatest(width * 2 + 320, 800) AS INT) AS bg_w,
+       CAST(greatest(height * 2 + 320, 800) AS INT) AS bg_h,
+       CAST((greatest(width * 2 + 320, 800) - (width * 2 + 320)) // 2
+            AS INT) AS x_off,
+       CAST((greatest(height * 2 + 320, 800) - (height * 2 + 320)) // 2
+            AS INT) AS y_off
+FROM media
+"""
+)
+
+
+def q_media_bg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 background-color mode: decode the payload (pluggable codec,
+    deterministic fake by default) and take the modal value of the 4
+    corner pixels with Counter.most_common tie semantics
+    (mix_inference.py:152-154).  The DuckDB oracle reproduces the fake
+    decoder's corner bytes arithmetically (md5 tiling), so the whole
+    decode->corners->mode path is value-checked cross-engine."""
+    import pandas as pd
+
+    m = _media_dims(spark, sf_dir).select(
+        "media_ref", "width", "height",
+        F.encode(F.md5("media_ref"), "utf-8").alias("payload"),
+    )
+
+    def run(batches):
+        from ..core.imageops import bg_color_mode
+        from .multimodal import _DECODER
+
+        for pdf in batches:
+            modes = [
+                int(bg_color_mode(_DECODER(bytes(p), int(w), int(h))))
+                for p, w, h in zip(
+                    pdf["payload"], pdf["width"], pdf["height"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "bg_mode": pd.Series(modes, dtype="int32"),
+                }
+            )
+
+    return m.mapInPandas(run, schema="media_ref string, bg_mode int")
+
+
+MEDIA_BG_MODE_SQL = (
+    _MEDIA_DIMS_CTE
+    + """
+, digests AS (
+  SELECT media_ref, width, height, md5(md5(media_ref)) AS hex2,
+         [0, width - 1, (height - 1) * width, height * width - 1]
+           AS corner_idx
+  FROM media
+), corners AS (
+  SELECT media_ref,
+         unnest([0, 1, 2, 3]) AS pos,
+         unnest([
+           CAST(concat('0x', substr(hex2, 2 * (corner_idx[1] % 16) + 1, 2))
+                AS INT),
+           CAST(concat('0x', substr(hex2, 2 * (corner_idx[2] % 16) + 1, 2))
+                AS INT),
+           CAST(concat('0x', substr(hex2, 2 * (corner_idx[3] % 16) + 1, 2))
+                AS INT),
+           CAST(concat('0x', substr(hex2, 2 * (corner_idx[4] % 16) + 1, 2))
+                AS INT)
+         ]) AS val
+  FROM digests
+), counted AS (
+  SELECT media_ref, val, count(*) AS cnt, min(pos) AS first_pos
+  FROM corners GROUP BY media_ref, val
+), ranked AS (
+  SELECT media_ref, val,
+         row_number() OVER (
+           PARTITION BY media_ref ORDER BY cnt DESC, first_pos ASC
+         ) AS rn
+  FROM counted
+)
+SELECT media_ref, CAST(val AS INT) AS bg_mode FROM ranked WHERE rn = 1
+"""
+)
+
+
+def q_viz_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 visualization sink as a query: per-page SVG overlay (rect +
+    kind-i label per block, layout.py:175-200) over the classified
+    synth corpus.  Pure JVM-side string building — no Python in the
+    plan."""
+    from ..pipeline.sinks import svg_overlay
+
+    b = synth_blocks(spark, sf_dir).withColumn("kind", _classify_col())
+    return svg_overlay(b)
+
+
+def _color_case_sql() -> str:
+    from ..pipeline.sinks import KIND_COLOR
+
+    whens = " ".join(
+        f"WHEN kind = '{k}' THEN 'rgb({r},{g},{b})'"
+        for k, (r, g, b) in KIND_COLOR.items()
+    )
+    return f"CASE {whens} ELSE 'rgb(192,192,192)' END"
+
+
+def _viz_overlay_sql() -> str:
+    return (
+        _blocks_cte()
+        + f"""
+, kinds AS (
+  SELECT doc_id, page, "offset", x1, y1, x2, y2,
+         {CLASSIFY_SQL_CASE} AS kind
+  FROM blocks
+), colored AS (
+  SELECT *, {_color_case_sql()} AS color,
+         row_number() OVER (PARTITION BY doc_id, page ORDER BY "offset")
+           - 1 AS ix
+  FROM kinds
+), elems AS (
+  SELECT doc_id, page, "offset",
+         CAST(floor(x2) AS BIGINT) AS xmax,
+         CAST(floor(y2) AS BIGINT) AS ymax,
+         '<rect x="' || CAST(CAST(floor(x1) AS BIGINT) AS VARCHAR)
+         || '" y="' || CAST(CAST(floor(y1) AS BIGINT) AS VARCHAR)
+         || '" width="'
+         || CAST(CAST(floor(x2) AS BIGINT) - CAST(floor(x1) AS BIGINT)
+                 AS VARCHAR)
+         || '" height="'
+         || CAST(CAST(floor(y2) AS BIGINT) - CAST(floor(y1) AS BIGINT)
+                 AS VARCHAR)
+         || '" fill="none" stroke="' || color
+         || '" stroke-width="2"/><text x="'
+         || CAST(CAST(floor(x2) AS BIGINT) AS VARCHAR)
+         || '" y="' || CAST(CAST(floor(y1) AS BIGINT) AS VARCHAR)
+         || '" fill="' || color || '" font-size="16">' || kind || '-'
+         || CAST(ix AS VARCHAR) || '</text>' AS elem
+  FROM colored
+)
+SELECT doc_id, page,
+       '<svg xmlns="http://www.w3.org/2000/svg" width="'
+       || CAST(max(xmax) AS VARCHAR) || '" height="'
+       || CAST(max(ymax) AS VARCHAR) || '">'
+       || string_agg(elem, '' ORDER BY "offset") || '</svg>' AS svg
+FROM elems GROUP BY doc_id, page
+"""
+    )
+
+
 # -- table-structure assembly (M11 deterministic core) ---------------------
 
 _TABLE_CELLS_SCHEMA = (
@@ -2246,6 +2454,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dual_extract": (q_dual_extract, None),
     "table_cells": (q_table_cells, TABLE_CELLS_SQL),
     "table_export": (q_table_export, TABLE_EXPORT_SQL),
+    "pad_plan": (q_pad_plan, PAD_PLAN_SQL),
+    "media_bg_mode": (q_media_bg_mode, MEDIA_BG_MODE_SQL),
+    "viz_overlay": (q_viz_overlay, _viz_overlay_sql()),
 }
 
 
