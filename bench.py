@@ -85,6 +85,8 @@ HEADLINE = [
     "pad_plan",
     "media_bg_mode",
     "viz_overlay",
+    "decontaminate",
+    "pack_chunks",
     "flagship_extract",
     "flagship_simple",
 ]

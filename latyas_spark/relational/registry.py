@@ -2034,6 +2034,131 @@ def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans_flat(synth_blocks(spark, sf_dir))
 
 
+# -- training-data ops: decontamination + sequence packing ------------------
+
+_GRAM5 = (
+    "CASE WHEN size(ws) < 5 THEN cast(array() as array<string>) "
+    "ELSE transform(sequence(0, size(ws) - 5), "
+    "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])) END"
+)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style): flag corpus
+    docs sharing any word 5-gram with the benchmark set (here: the
+    deterministic 1/97 slice of documents stands in for an eval
+    suite).  Reports distinct contaminated grams per hit doc.
+
+    Scale shape: benchmark suites are tiny and fixed, so the benchmark
+    gram set is BROADCAST — the corpus side never shuffles; each task
+    builds its doc-local distinct grams with JVM higher-order functions
+    and hash-probes the broadcast set.  No explode-regroup of the
+    corpus at any size."""
+    docs = _read(spark, sf_dir, "documents")
+    with_grams = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " +").alias("ws")
+    ).select("doc_id", F.expr(_GRAM5).alias("grams"))
+    bench = (
+        with_grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = with_grams.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(F.array_distinct("grams")).alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+
+
+DECONTAMINATE_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(len(ws) - 3, 1)),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+           || ' ' || ws[i+4]) AS grams
+  FROM w
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT doc_id, unnest(list_distinct(grams)) AS gram
+  FROM g WHERE doc_id % 97 <> 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM corpus JOIN bench USING (gram)
+GROUP BY doc_id
+"""
+
+PACK_CAPACITY = 256  # tokens per training window
+PACK_BUCKET = 2500  # docs per packing bucket (parallelism unit)
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate docs in doc_id
+    order and split at fixed 256-token boundaries (the concat-then-
+    chunk packing used for GPT-style training), reporting per-chunk
+    doc count, token count and doc-id range.
+
+    Scale shape: packing is made embarrassingly parallel by bucketing
+    the doc-id space ((source, doc_id div 2500) keys): each bucket
+    packs independently with a bounded window sort, so there is no
+    global order dependency and no skewed single-source window at
+    corpus scale."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), " +")).cast("bigint")
+    base = docs.select(
+        "source",
+        F.expr(f"doc_id div {PACK_BUCKET}").alias("bucket"),
+        "doc_id",
+        toks.alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_chunk = base.select(
+        "source",
+        "bucket",
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_CAPACITY)
+        .cast("bigint")
+        .alias("chunk_id"),
+    )
+    return with_chunk.groupBy("source", "bucket", "chunk_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+PACK_CHUNKS_SQL = f"""
+WITH base AS (
+  SELECT source, doc_id // {PACK_BUCKET} AS bucket, doc_id,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+           AS n_tok
+  FROM documents
+), cum AS (
+  SELECT source, bucket, doc_id, n_tok,
+         (sum(n_tok) OVER (PARTITION BY source, bucket ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tok) // {PACK_CAPACITY}
+           AS chunk_id
+  FROM base
+)
+SELECT source, bucket, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cum GROUP BY source, bucket, chunk_id
+"""
+
+
 # -- raster-side operators (F8 / A4 / S8) -----------------------------------
 
 
@@ -2457,6 +2582,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pad_plan": (q_pad_plan, PAD_PLAN_SQL),
     "media_bg_mode": (q_media_bg_mode, MEDIA_BG_MODE_SQL),
     "viz_overlay": (q_viz_overlay, _viz_overlay_sql()),
+    "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
+    "pack_chunks": (q_pack_chunks, PACK_CHUNKS_SQL),
 }
 
 
