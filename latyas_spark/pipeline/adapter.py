@@ -275,52 +275,51 @@ def synth_table_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # one row per distinct table: 40 rows — a tiny distinct, test-only
-    # (production structure boxes arrive from the detector per page)
+    # (production structure boxes arrive from the detector per page).
+    # All three structure-object kinds come off ONE distinct + ONE
+    # explode (a per-kind derivation would re-shuffle the distinct 3x).
     tables = base.select("t", "R", "C").distinct()
-    rows_obj = tables.select(
-        "t", "C",
-        F.explode(F.sequence(F.lit(0), F.col("R") - 1)).alias("r"),
+    _bt = (
+        "struct<obj_type:string,x1:double,y1:double,x2:double,y2:double>"
+    )
+    struct_arr = F.expr(
+        f"""
+concat(
+  transform(sequence(0, cast(R - 1 as int)), r -> named_struct(
+    'obj_type', 'row',
+    'x1', cast(-(t % 3) as double),
+    'y1', cast(r * 100 - (t + r) % 4 as double),
+    'x2', cast(C * 80 + t % 5 as double),
+    'y2', cast((r + 1) * 100 + (t + 3 * r) % 4 as double))),
+  transform(sequence(0, cast(C - 1 as int)), c -> named_struct(
+    'obj_type', 'column',
+    'x1', cast(c * 80 - (t + c) % 4 as double),
+    'y1', cast(-(t % 3) as double),
+    'x2', cast((c + 1) * 80 + (t + 3 * c) % 4 as double),
+    'y2', cast(R * 100 + t % 5 as double))),
+  CASE WHEN t % 2 = 0 THEN array(named_struct(
+    'obj_type', 'header',
+    'x1', cast(-(t % 3) as double),
+    'y1', cast(-(t % 4) as double),
+    'x2', cast(C * 80 + t % 5 as double),
+    'y2', cast(100 + t % 4 as double)))
+  ELSE cast(array() as array<{_bt}>) END
+)
+"""
+    )
+    structs = tables.select(
+        table_id.alias("table_id"), F.explode(struct_arr).alias("o")
     ).select(
-        table_id.alias("table_id"),
-        F.lit("row").alias("obj_type"),
-        (-(F.col("t") % 3)).cast("double").alias("x1"),
-        (F.col("r") * 100 - (F.col("t") + F.col("r")) % 4)
-        .cast("double").alias("y1"),
-        (F.col("C") * 80 + F.col("t") % 5).cast("double").alias("x2"),
-        ((F.col("r") + 1) * 100 + (F.col("t") + 3 * F.col("r")) % 4)
-        .cast("double").alias("y2"),
+        "table_id",
+        F.col("o.obj_type").alias("obj_type"),
+        F.col("o.x1").alias("x1"),
+        F.col("o.y1").alias("y1"),
+        F.col("o.x2").alias("x2"),
+        F.col("o.y2").alias("y2"),
         null_s.alias("text"),
         F.lit(-1).cast("long").alias("token_num"),
     )
-    cols_obj = tables.select(
-        "t", "R",
-        F.explode(F.sequence(F.lit(0), F.col("C") - 1)).alias("c"),
-    ).select(
-        table_id.alias("table_id"),
-        F.lit("column").alias("obj_type"),
-        (F.col("c") * 80 - (F.col("t") + F.col("c")) % 4)
-        .cast("double").alias("x1"),
-        (-(F.col("t") % 3)).cast("double").alias("y1"),
-        ((F.col("c") + 1) * 80 + (F.col("t") + 3 * F.col("c")) % 4)
-        .cast("double").alias("x2"),
-        (F.col("R") * 100 + F.col("t") % 5).cast("double").alias("y2"),
-        null_s.alias("text"),
-        F.lit(-1).cast("long").alias("token_num"),
-    )
-    # header box == row 0's exact bbox, only for even t
-    header_obj = tables.filter(F.col("t") % 2 == 0).select(
-        table_id.alias("table_id"),
-        F.lit("header").alias("obj_type"),
-        (-(F.col("t") % 3)).cast("double").alias("x1"),
-        (-(F.col("t") % 4)).cast("double").alias("y1"),
-        (F.col("C") * 80 + F.col("t") % 5).cast("double").alias("x2"),
-        (F.lit(100) + F.col("t") % 4).cast("double").alias("y2"),
-        null_s.alias("text"),
-        F.lit(-1).cast("long").alias("token_num"),
-    )
-    return tokens.unionByName(rows_obj).unionByName(cols_obj).unionByName(
-        header_obj
-    )
+    return tokens.unionByName(structs)
 
 
 # DuckDB mirror of synth_blocks (same arithmetic, same column names).

@@ -2036,10 +2036,17 @@ def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- training-data ops: decontamination + sequence packing ------------------
 
-_GRAM5 = (
-    "CASE WHEN size(ws) < 5 THEN cast(array() as array<string>) "
-    "ELSE transform(sequence(0, size(ws) - 5), "
-    "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])) END"
+# Gram size 3 on this small-vocabulary synthetic corpus (~170 hit docs
+# at sf0.01 -> real verification signal); production decontamination
+# uses 8-13 grams — the shape of the plan is identical.
+DECON_N = 3
+
+_DECON_GRAMS = (
+    f"CASE WHEN size(ws) < {DECON_N} THEN cast(array() as array<string>) "
+    f"ELSE transform(sequence(0, size(ws) - {DECON_N}), "
+    "i -> concat_ws(' ', "
+    + ", ".join(f"ws[i+{j}]" for j in range(DECON_N))
+    + ")) END"
 )
 
 
@@ -2057,7 +2064,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     with_grams = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), " +").alias("ws")
-    ).select("doc_id", F.expr(_GRAM5).alias("grams"))
+    ).select("doc_id", F.expr(_DECON_GRAMS).alias("grams"))
     bench = (
         with_grams.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode("grams").alias("gram"))
@@ -2073,14 +2080,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DECONTAMINATE_SQL = """
+DECONTAMINATE_SQL = f"""
 WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
 ), g AS (
   SELECT doc_id,
-    list_transform(range(1, greatest(len(ws) - 3, 1)),
-      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
-           || ' ' || ws[i+4]) AS grams
+    list_transform(range(1, greatest(len(ws) - {DECON_N - 2}, 1)),
+      i -> {" || ' ' || ".join(f"ws[i+{j}]" for j in range(DECON_N))})
+      AS grams
   FROM w
 ), bench AS (
   SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0

@@ -212,3 +212,67 @@ def test_spark_matches_local_kernel(spark, sf001_dir, sf001_duck):
     assert len(got) == len(want)
     assert got["cell_text"].tolist() == want["cell_text"].tolist()
     assert got["is_header"].tolist() == want["is_header"].tolist()
+
+
+# -- property tests ---------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n_rows=st.integers(1, 6),
+    n_cols=st.integers(1, 5),
+    header_rows=st.integers(0, 2),
+    jitter=st.lists(st.integers(0, 4), min_size=24, max_size=24),
+    n_tokens=st.integers(0, 12),
+    seed=st.integers(0, 10**6),
+)
+def test_grid_invariants(n_rows, n_cols, header_rows, jitter, n_tokens, seed):
+    """Without spanning cells the assembled grid is exactly R x C: every
+    (row, col) appears once, header flags match the header boxes, and
+    every in-cell token lands in its own cell."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (0 - jitter[r % 24], r * 100 - jitter[(r + 1) % 24],
+         n_cols * 80 + jitter[(r + 2) % 24],
+         (r + 1) * 100 + jitter[(r + 3) % 24])
+        for r in range(n_rows)
+    ]
+    cols = [
+        (c * 80 - jitter[c % 24], 0 - jitter[(c + 5) % 24],
+         (c + 1) * 80 + jitter[(c + 7) % 24],
+         n_rows * 100 + jitter[(c + 11) % 24])
+        for c in range(n_cols)
+    ]
+    hdr = (
+        [(0, 0, n_cols * 80, header_rows * 100)] if header_rows else []
+    )
+    tokens = []
+    expect = {}
+    for t in range(n_tokens):
+        r = rng.randrange(n_rows)
+        c = rng.randrange(n_cols)
+        x = c * 80 + 20 + rng.randrange(10)
+        y = r * 100 + 30 + rng.randrange(10)
+        tokens.append(((x, y, x + 20, y + 20), f"tok{t}", t))
+        expect.setdefault((r, c), []).append(f"tok{t}")
+
+    # scramble detection order
+    rows_in = rows[:]
+    cols_in = cols[:]
+    rng.shuffle(rows_in)
+    rng.shuffle(cols_in)
+
+    cells = assemble_cells(rows_in, cols_in, hdr, tokens=tokens)
+    assert len(cells) == n_rows * n_cols
+    seen = {(c["row_nums"][0], c["col_nums"][0]) for c in cells}
+    assert seen == {(r, c) for r in range(n_rows) for c in range(n_cols)}
+    for cell in cells:
+        r, c = cell["row_nums"][0], cell["col_nums"][0]
+        assert cell["header"] == (r < header_rows)
+        want = " ".join(expect.get((r, c), []))
+        assert cell["text"] == want
