@@ -2540,6 +2540,239 @@ GROUP BY rt.table_id, rt.t, d.C
 )
 
 
+# Fixed keyword query for the BM25 retrieval demo (small-vocab corpus,
+# FIXTURES.md §6) and the standard Robertson parameters.
+_BM25_TERMS = ("spark", "hash", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over ``documents`` — the search-side
+    complement to the dedup/similarity family (no reference analog;
+    Robertson & Zaragoza 2009 formula, k1=1.2 b=0.75).
+
+    100 TB shape: term frequencies for the (tiny, fixed) query-term set
+    are computed DOC-LOCALLY with JVM higher-order functions
+    (``size(filter(words, ...))``) — no corpus-wide explode/regroup, so
+    the scan is a zero-shuffle projection.  Corpus statistics (N,
+    avgdl, per-term document frequencies) reduce to ONE combinable
+    single-row aggregate that is broadcast back; the per-document score
+    is then a pure map.  The only shuffle is the final top-k.
+
+    Cross-engine determinism: tf/dl/df are exact integers; avgdl is an
+    exact integer ratio in double; per-term scores are summed in FIXED
+    column order (s0+s1+s2, never a groupBy over terms) so Spark and
+    DuckDB add the same doubles in the same order; ties broken by
+    doc_id."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " +").alias("w")
+    )
+    tf = docs.select(
+        "doc_id",
+        F.size("w").alias("dl"),
+        *[
+            F.expr(f"size(filter(w, x -> x = '{t}'))").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = tf.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    norm = _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+    score = F.lit(0.0)
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        score = score + idf * (
+            F.col(f"tf{i}") * (_BM25_K1 + 1) / (F.col(f"tf{i}") + norm)
+        )
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+BM25_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, len(w) AS dl,
+    {", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )}
+  FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+    {", ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )}
+  FROM tf
+), scored AS (
+  SELECT doc_id,
+    round(
+      0.0
+      {"".join(
+          f'''
+      + ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))
+        * (tf{i} * ({_BM25_K1} + 1)
+           / (tf{i} + {_BM25_K1} * (1 - {_BM25_B}
+                + {_BM25_B} * dl / (sum_dl * 1.0 / n_docs))))'''
+          for i in range(len(_BM25_TERMS))
+      )}, 6) AS bm25
+  FROM tf, stats
+)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+
+# K and quantization scale for the k-means IVF demo.  floor(x * 1e6)
+# is identical IEEE double arithmetic in Spark and DuckDB, and keeps
+# every later operation (sums, squared distances) in exact int64:
+# |x| < 0.6 -> components < 6e5, squared diffs < 1.5e12, x64 dims
+# < 1e14 -- far inside int64.
+_KM_K = 8
+_KM_Q = 1_000_000
+
+
+def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with LEARNED coarse centroids: 2 unrolled Lloyd iterations
+    of k-means (K=8, init = the vectors with the 8 smallest vec_ids),
+    then probe the query's final cluster and rank by exact squared L2.
+    Complements ``ann_ivf`` (static sign-bit cells): real IVF indexes
+    train centroids on the data, so cells follow the density.
+
+    100 TB shape, per Lloyd round: centroids are K x D (tiny) and are
+    BROADCAST to the corpus — assignment is a map-side broadcast join,
+    the corpus never shuffles; the centroid update is ONE combinable
+    aggregate keyed (cluster, dim) (K*D = 512 groups, partial map-side
+    combine does almost all the work).  Rounds are unrolled — the plan
+    has a fixed depth, no driver loop over collect()ed state.  At real
+    scale you train the K-means on a sample and keep the full corpus
+    for assignment only; the plan shape is identical.
+
+    Cross-engine determinism: ALL math is exact int64 — vectors are
+    quantized floor(x*1e6); centroid components are
+    floor(sum/count) (integer sums are order-independent); distances
+    are integer; argmin ties break on cluster id, top-k ties on
+    vec_id.  Empty clusters simply drop out of the next round's
+    centroid table in both engines."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {_KM_Q}) as bigint))"
+        ).alias("iv"),
+    )
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
+    )
+    dist_expr = F.expr(
+        "aggregate(zip_with(iv, civ, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (s, x) -> s + x)"
+    )
+
+    def assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+        scored = vecs.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "iv", F.struct(dist_expr.alias("d"), "cid").alias("dc")
+        )
+        return scored.groupBy("vec_id", "iv").agg(
+            F.min("dc").getField("cid").alias("cid")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        comps = (
+            assigned.select("cid", F.posexplode("iv").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.floor(F.sum("val") / F.count(F.lit(1))).alias("comp"))
+        )
+        return comps.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, comp))),"
+                " s -> s.comp)"
+            ).alias("civ")
+        )
+
+    for _ in range(2):
+        cents = update(assign(e, cents))
+    final = assign(e, cents)
+    q = final.filter(F.col("vec_id") == 0).select(
+        F.col("iv").alias("qiv"), F.col("cid").alias("qcid")
+    )
+    qdist = F.expr(
+        "aggregate(zip_with(iv, qiv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (s, x) -> s + x)"
+    )
+    return (
+        final.join(F.broadcast(q), final["cid"] == q["qcid"])
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", qdist.alias("idist"))
+        .orderBy(F.asc("idist"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _km_assign_sql(vecs: str, cents: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT vec_id, iv, cid FROM (
+    SELECT v.vec_id, v.iv, c.cid,
+      row_number() OVER (
+        PARTITION BY v.vec_id
+        ORDER BY list_sum(list_transform(list_zip(v.iv, c.civ),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                 c.cid ASC) AS rn
+    FROM {vecs} v, {cents} c
+  ) WHERE rn = 1
+)"""
+
+
+def _km_update_sql(assigned: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT cid, array_agg(comp ORDER BY pos) AS civ FROM (
+    SELECT cid, pos,
+      CAST(floor(SUM(val) * 1.0 / COUNT(*)) AS BIGINT) AS comp
+    FROM (
+      SELECT cid, unnest(range(64)) AS pos, iv FROM {assigned}
+    ) x, LATERAL (SELECT iv[CAST(pos AS INT) + 1] AS val) v
+    GROUP BY cid, pos
+  ) GROUP BY cid
+)"""
+
+
+ANN_KMEANS_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT)) AS iv
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, iv AS civ FROM e WHERE vec_id < {_KM_K}
+), {_km_assign_sql("e", "c0", "a1")},
+{_km_update_sql("a1", "c1")},
+{_km_assign_sql("e", "c1", "a2")},
+{_km_update_sql("a2", "c2")},
+{_km_assign_sql("e", "c2", "a3")},
+q AS (SELECT iv AS qiv, cid AS qcid FROM a3 WHERE vec_id = 0)
+SELECT a3.vec_id,
+  CAST(list_sum(list_transform(list_zip(a3.iv, q.qiv),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS idist
+FROM a3, q
+WHERE a3.cid = q.qcid AND a3.vec_id <> 0
+ORDER BY idist ASC, vec_id ASC LIMIT 10
+"""
+
+
 # -- registry --------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
@@ -2591,6 +2824,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "viz_overlay": (q_viz_overlay, _viz_overlay_sql()),
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "pack_chunks": (q_pack_chunks, PACK_CHUNKS_SQL),
+    "bm25_topk": (q_bm25_topk, BM25_SQL),
+    "ann_kmeans": (q_ann_kmeans, ANN_KMEANS_SQL),
 }
 
 

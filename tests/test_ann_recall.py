@@ -89,3 +89,40 @@ def test_dedup_embedding_candidates_are_bucketed(spark, sf001_dir):
         )
         assert abs(round(cos, 3) - r["cos_sim"]) <= 1e-9
         assert r["cos_sim"] >= 0.3
+
+
+def _brute_l2_topk(sf_dir: str, k: int = 10) -> set[int]:
+    """Exact integer-L2 top-k on the SAME floor(x*1e6) quantization the
+    k-means operator uses, so recall is measured against its own
+    distance metric."""
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    df = df.sort_values("vec_id").reset_index(drop=True)
+    V = np.floor(
+        np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        * 1e6
+    ).astype(np.int64)
+    d = ((V - V[0]) ** 2).sum(axis=1)
+    order = [i for i in np.argsort(d, kind="stable") if i != 0]
+    return {int(df["vec_id"][i]) for i in order[:k]}
+
+
+def test_kmeans_recall_beats_static_cells(spark, sf001_dir):
+    """Learned centroids must recover most true neighbors on the
+    near-uniform fixture (measured 0.9 at sf0.001) — the density-aware
+    upgrade over the static sign-bit cells, whose single-probe recall
+    is ~0.2 on the same data."""
+    brute = _brute_l2_topk(sf001_dir)
+    got = {r["vec_id"] for r in R.q_ann_kmeans(spark, sf001_dir).collect()}
+    assert len(got & brute) / 10 >= 0.6
+
+
+def test_kmeans_plan_broadcasts_centroids(spark, sf001_dir):
+    """Assignment must reach the corpus via BROADCAST of the K x D
+    centroid table (the corpus itself never shuffles for assignment)
+    and contain no CartesianProduct."""
+    plan = (
+        R.q_ann_kmeans(spark, sf001_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan

@@ -36,6 +36,8 @@ SUBSET = [
     "dual_arbitrate",
     "flagship_simple",
     "quality_score",
+    "bm25_topk",
+    "ann_kmeans",
 ]
 
 
@@ -128,3 +130,30 @@ def test_scan_speed_ops_have_zero_shuffle(spark, sf001_dir):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan, q.__name__
+
+
+def test_bm25_ranks_by_term_frequency_and_length(spark, tmp_path):
+    """BM25 semantics on a crafted corpus: with equal doc length, more
+    query-term occurrences rank higher; term-free docs score 0; and a
+    shorter doc with the same tf outranks a longer one (length
+    normalization, b=0.75)."""
+    filler = "the"
+    rows = []
+    # doc 0: tf(spark)=5, doc 1: tf(spark)=1, same length 25
+    rows.append((0, " ".join(["spark"] * 5 + [filler] * 20)))
+    rows.append((1, " ".join(["spark"] * 1 + [filler] * 24)))
+    # doc 2: tf=1 but much longer than doc 1
+    rows.append((2, " ".join(["spark"] * 1 + [filler] * 99)))
+    # docs 3..11: no query terms at all
+    for i in range(3, 12):
+        rows.append((i, " ".join([filler] * 25)))
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in R.q_bm25_topk(spark, str(tmp_path)).collect()
+    }
+    assert got[0] > got[1] > got[2] > 0
+    for d in range(3, 12):
+        assert got.get(d, 0.0) == 0.0
