@@ -92,6 +92,15 @@ HEADLINE = [
 ]
 
 
+def _headline_names() -> list[str]:
+    """Curated order first, then every other registered query appended
+    (sorted) — the bench must never silently omit an operator."""
+    from latyas_spark.relational.registry import queries
+
+    rest = sorted(set(queries()) - set(HEADLINE))
+    return HEADLINE + rest
+
+
 def _materialize(df) -> int:
     # noop sink: full materialization, no IO, no column pruning shortcut
     df.write.format("noop").mode("overwrite").save()
@@ -108,7 +117,7 @@ def _bench_queries(spark) -> dict:
         "l_returnflag"
     ).count().write.format("noop").mode("overwrite").save()
     out = {}
-    for name in HEADLINE:
+    for name in _headline_names():
         fn = qs[name]
         t0 = time.perf_counter()
         _materialize(fn(spark, SF_DIR))
@@ -410,7 +419,11 @@ def _write_report(result: dict) -> None:
     for k, v in result["queries"].items():
         lines.append(f"- {k}: {v}")
     lines += ["", f"Total bench wall: {result['value']} {result['unit']}"]
-    with open("BENCH/BASELINE.md", "w") as f:
+    # A SKIP_SCALING run has no scaling sections — writing it to
+    # BENCH/BASELINE.md would clobber the last full run's scaling
+    # evidence, so query-only refreshes land in BENCH/QUERIES.md.
+    target = "BENCH/QUERIES.md" if SKIP_SCALING else "BENCH/BASELINE.md"
+    with open(target, "w") as f:
         f.write("\n".join(lines) + "\n")
 
 

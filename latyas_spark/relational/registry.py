@@ -1035,57 +1035,110 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs via an inverted-index join.
 
-    Scale shape: NOT an n^2 doc cross join — distinct (doc, gram) rows
-    join on gram (the inverted index), so cost follows shared-gram
-    frequency; pair intersection counts come from a groupBy, union
-    sizes from per-doc distinct counts, Jaccard >= 0.4 filters.  The
-    skew guard every inverted index needs at 100 TB: drop grams shared
-    by more than 64 docs (stopword-gram equivalent of a frequency cap)
-    — applied identically in the DuckDB oracle."""
-    docs = _read(spark, sf_dir, "documents").select(
+    Scale shape: NOT an n^2 doc cross join — per-doc distinct grams
+    (map-side array_distinct) explode into an inverted index; gram
+    document-frequency comes from a spill-backed window count, the
+    df <= 64 cap (stopword-gram skew guard, same cap as the DuckDB
+    oracle) filters before any posting list is materialized, and
+    candidate pairs explode map-side from the <=64-id lists — no gram
+    self-join and no broadcast of the corpus-sized distinct-gram list.
+
+    ONE pass over the corpus: each doc's gram-set size rides along on
+    every inverted-index row (a fixed 8-byte column), so the Jaccard
+    union size needs no join back to the documents — a separate
+    `sizes` branch would make Spark recompute the scan + gram
+    transform (the dominant cost) once per join side, tripling the
+    corpus passes at any scale."""
+    # The gram transform blows each doc up ~100x, so parallelism must
+    # be set BEFORE the heavy array work: a compact text corpus (fewer
+    # splits than cores) would otherwise run the whole explosion on
+    # 1-2 tasks.  Only rebalance when the scan is actually narrow — at
+    # warehouse scale the input has millions of splits and an
+    # unconditional repartition would shuffle raw text for nothing.
+    # (file count is driver-side metadata — no job, unlike .rdd probes)
+    raw = _read(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if len(raw.inputFiles()) < par:
+        raw = raw.repartition(par * 2, "doc_id")
+    docs = raw.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.split("text", " +").alias("w"),
     )
-    grams = (
-        docs.select(
-            "doc_id",
+    # Per-doc dedup is array_distinct, map-side — a global
+    # (doc_id, gram) DISTINCT would shuffle the whole gram stream for
+    # nothing, since doc_id is already in the dedup key.
+    gsets = docs.select(
+        "doc_id",
+        F.array_distinct(
+            # guard: sequence(0, -1) would DESCEND in Spark, so
+            # short texts must short-circuit to an empty array
+            F.expr(
+                "case when size(w) >= 3 then"
+                " transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                " else array() end"
+            )
+        ).alias("grams"),
+    )
+    # Union size = full per-doc distinct-gram count (UNcapped — the
+    # cap only prunes candidate generation, not Jaccard's denominator),
+    # attached to every posting row before the explode.
+    #
+    # explode_OUTER + post-filter, not plain explode: from a non-outer
+    # explode Catalyst infers `size(grams) > 0` (InferFiltersFromGenerate)
+    # and pushes it below the repartition Exchange — which re-evaluates
+    # the ENTIRE gram transform serially inside the narrow scan stage
+    # (measured: 21s single-task CPU at sf0.1, ~4x the whole query).
+    # An outer generate admits no inferred filter, and the null-gram
+    # filter on the generator OUTPUT cannot sink below the Generate.
+    grams = gsets.select(
+        "doc_id",
+        F.size("grams").alias("n"),
+        F.explode_outer("grams").alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    # ONE shuffle of the inverted index, skew-safe end to end: the
+    # explosion is exchanged on gram exactly once, a window count
+    # (spill-backed WindowExec — a hot boilerplate gram's group goes to
+    # executor-local disk, never OOM) yields each gram's df, the df<=64
+    # cap filters BEFORE any posting list exists, and the collect_list
+    # reuses the window's hash partitioning (no second Exchange) with
+    # every list bounded at 64 (doc_id, n) structs.  A bare
+    # collect_list-then-filter would buffer a hot gram's full posting
+    # list in one agg buffer; a count-agg-then-join would recompute or
+    # re-shuffle the explosion.  Pair explosion is at most
+    # C(64,2)=2016 rows per gram, map-side after the agg — no gram
+    # self-join anywhere.  array_sort on the structs orders by doc_id
+    # (first field), preserving the a<b pair convention.
+    wdf = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    pairs = (
+        grams.withColumn("df", wdf)
+        .filter(F.col("df") <= 64)
+        .groupBy("gram")
+        .agg(
+            F.collect_list(F.struct("doc_id", "n")).alias("ids"),
+        )
+        .filter(F.size("ids") >= 2)
+        .select(
             F.explode(
-                # guard: sequence(0, -1) would DESCEND in Spark, so
-                # short texts must short-circuit to an empty array
                 F.expr(
-                    "case when size(w) >= 3 then"
-                    " transform(sequence(0, size(w) - 3),"
-                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-                    " else array() end"
+                    "flatten(transform(array_sort(ids), (a, i) ->"
+                    " transform(slice(array_sort(ids), i + 2, size(ids)),"
+                    " b -> struct(a.doc_id as doc_a, a.n as na,"
+                    " b.doc_id as doc_b, b.n as nb))))"
                 )
-            ).alias("gram"),
+            ).alias("p")
         )
-        .distinct()
+        .select("p.doc_a", "p.na", "p.doc_b", "p.nb")
     )
-    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    grams_f = grams.join(
-        F.broadcast(freq.filter(F.col("df") <= 64).select("gram")), "gram"
+    # na/nb are functionally determined by doc_a/doc_b, so max() just
+    # reads the value — one combinable agg, no join back to the corpus.
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("inter"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams_f.alias("a")
-    b = grams_f.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
@@ -1406,21 +1459,41 @@ SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.3
 # -- text analysis ---------------------------------------------------------
 
 
+# GPT-2-style pretokenizer (Radford et al. 2019 regex, ASCII subset):
+# contractions, space-prefixed letter runs, short digit runs (digits
+# chunked <=3 like modern BPE vocabs), punctuation runs, whitespace.
+# Kept inside the Java-regex ∩ RE2 common subset (no \p classes, no
+# lookarounds) so Spark and DuckDB count identical matches.
+_BPE_RE = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9 ]+| +"
+)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality features (whitespace tokenizer)."""
+    """Token counting + quality features: the whitespace tokenizer and
+    a BPE-ish pretokenizer count side by side (the training-pipeline
+    pair — whitespace for quality ratios, the GPT-2-style regex as the
+    cheap token-budget estimator that tracks real BPE within a few
+    percent).  Both are doc-local projections: zero shuffle, pure
+    scan speed at any corpus size."""
     docs = _read(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim(F.col("text")), " +"))
+    bpe = F.expr(f"regexp_count(text, \"{_BPE_RE}\")")
     return docs.select(
         "doc_id",
         toks.alias("n_tokens"),
+        bpe.alias("n_tokens_bpe"),
         F.length("text").alias("n_chars_obs"),
         F.round(F.length("text") / toks, 4).alias("chars_per_token"),
     )
 
 
-TOKEN_STATS_SQL = """
+TOKEN_STATS_SQL = f"""
 SELECT doc_id,
   len(string_split_regex(trim(text), ' +')) AS n_tokens,
+  len(regexp_extract_all(text, '{_BPE_RE.replace(chr(39), chr(39) * 2)}'))
+    AS n_tokens_bpe,
   length(text) AS n_chars_obs,
   round(length(text) * 1.0 / len(string_split_regex(trim(text), ' +')), 4)
     AS chars_per_token
@@ -2775,6 +2848,101 @@ ORDER BY idist ASC, vec_id ASC LIMIT 10
 
 # -- registry --------------------------------------------------------------
 
+_PPL_MIN_CNT = 4  # vocab frequency floor: rarer words are OOV
+_PPL_HEAD, _PPL_MID = 5000, 5200  # milli-bit cut points (CCNet buckets)
+
+
+def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020) with a
+    corpus-trained unigram LM as the deterministic stand-in for KenLM:
+    each document gets a mean surprisal and a head/middle/tail bucket.
+
+    Integer-exact across engines: word surprisal is octave-quantized —
+    ``bits(word) = floor(log2(total_tokens)) - floor(log2(count))``
+    (OOV = budget + 1) — so every per-token score is an exact int64 and
+    the per-doc mean is an integer ratio in milli-bits (``*1000 div
+    n``); no float sum ordering or log-precision hazards between Spark
+    and DuckDB (floor(log2(int64)) cannot misround: log2 of a power of
+    two is exact IEEE, and non-powers sit >= 8.9e-15 bits from the next
+    integer while libm error is ~1 ulp).
+
+    100 TB shape: the vocab (frequency floor >= 4) is the LM artifact —
+    ONE combinable count agg, then broadcast to score the token stream
+    (CCNet ships its LM to every worker the same way); scoring is a
+    broadcast join + combinable per-doc sum, so the corpus itself
+    shuffles only once (the groupBy(doc_id) partial agg).  Bucket cut
+    points are fixed config, like CCNet's offline tertiles; the
+    synthetic corpus is near-uniform so most docs land in head — the
+    cut points are chosen so all three buckets are exercised at test
+    scale."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " +").alias("w")
+    )
+    tokens = docs.select("doc_id", F.explode("w").alias("word"))
+    stats = docs.agg(F.sum(F.size("w")).alias("t")).select(
+        F.floor(F.log2("t")).cast("long").alias("bbudget")
+    )
+    vocab = (
+        tokens.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _PPL_MIN_CNT)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "word",
+            (F.col("bbudget") - F.floor(F.log2("cnt")).cast("long")).alias(
+                "wbits"
+            ),
+        )
+    )
+    scored = (
+        tokens.join(F.broadcast(vocab), "word", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("wbits"), F.col("bbudget") + 1).alias("bits"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.expr("sum(bits) * 1000 div count(1)").alias("mbits")
+    )
+    return per_doc.select(
+        "doc_id",
+        "mbits",
+        F.when(F.col("mbits") <= _PPL_HEAD, "head")
+        .when(F.col("mbits") <= _PPL_MID, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+PERPLEXITY_BUCKET_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents
+), tot AS (
+  SELECT CAST(floor(log2(SUM(len(w)))) AS BIGINT) AS bbudget FROM d
+), tok AS (
+  SELECT doc_id, unnest(w) AS word FROM d
+), vocab AS (
+  SELECT word,
+    (SELECT bbudget FROM tot)
+      - CAST(floor(log2(COUNT(*))) AS BIGINT) AS wbits
+  FROM tok GROUP BY word HAVING COUNT(*) >= {_PPL_MIN_CNT}
+), sc AS (
+  SELECT doc_id,
+    COALESCE(v.wbits, (SELECT bbudget FROM tot) + 1) AS bits
+  FROM tok LEFT JOIN vocab v USING (word)
+), pd AS (
+  SELECT doc_id, CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS mbits
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, mbits,
+  CASE WHEN mbits <= {_PPL_HEAD} THEN 'head'
+       WHEN mbits <= {_PPL_MID} THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM pd
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -2826,6 +2994,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pack_chunks": (q_pack_chunks, PACK_CHUNKS_SQL),
     "bm25_topk": (q_bm25_topk, BM25_SQL),
     "ann_kmeans": (q_ann_kmeans, ANN_KMEANS_SQL),
+    "perplexity_bucket": (q_perplexity_bucket, PERPLEXITY_BUCKET_SQL),
 }
 
 

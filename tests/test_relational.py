@@ -38,6 +38,7 @@ SUBSET = [
     "quality_score",
     "bm25_topk",
     "ann_kmeans",
+    "perplexity_bucket",
 ]
 
 
@@ -99,6 +100,32 @@ def test_minhash_bucket_cap_suppresses_hot_signature(spark, tmp_path):
     assert {got.loc[0, "doc_a"], got.loc[0, "doc_b"]} == {"near-a", "near-b"}
     assert got.loc[0, "shared_bands"] == 4
     # without the cap this would have been hot_n*(hot_n-1)/2 extra pairs
+
+
+def test_ngram_df_cap_suppresses_hot_gram(spark, tmp_path):
+    """100 TB guard, the ngram twin of the minhash bucket cap: a
+    boilerplate 3-gram shared by more than 64 docs must never reach a
+    posting list (the df count agg filters it first), so the hot
+    cluster produces zero candidate pairs while a genuine rare-gram
+    near-dup pair still surfaces with Jaccard 1.0."""
+    hot_n = 64 + 16
+    rows = [
+        (f"boiler-{i:04d}", "subscribe to our newsletter today")
+        for i in range(hot_n)
+    ]
+    rows += [
+        ("near-a", "gradient descent converges on convex losses"),
+        ("near-b", "gradient descent converges on convex losses"),
+    ]
+    d = str(tmp_path / "hotgram")
+    spark.createDataFrame(rows, "doc_id string, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = R.q_ngram_jaccard(spark, d).toPandas()
+    # without the cap the boiler cluster alone would emit C(80,2)=3160 pairs
+    assert len(got) == 1
+    assert {got.loc[0, "doc_a"], got.loc[0, "doc_b"]} == {"near-a", "near-b"}
+    assert got.loc[0, "jaccard"] == 1.0
 
 
 def test_no_per_row_python_udfs_anywhere():
