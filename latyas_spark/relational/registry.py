@@ -2846,6 +2846,108 @@ ORDER BY idist ASC, vec_id ASC LIMIT 10
 """
 
 
+_PARA_W = 5  # words per chunk ("paragraph" analog for newline-free corpora)
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup, RefinedWeb/Falcon-style (Penedo et al.
+    2023): split every document into fixed chunks (the paragraph analog
+    for this newline-free corpus), keep only the globally FIRST
+    occurrence of each distinct chunk (min (doc_id, idx)), and
+    reassemble each document from its surviving chunks in order.
+
+    100 TB shape: the corpus is scanned ONCE; the first-occurrence
+    owner per chunk hash is a combinable min(struct) agg (map-side
+    partial min, reducer state = one 16-byte struct per distinct hash);
+    the keep decision is an equi-join on the hash that reuses the agg's
+    partitioning on the owners side, so the chunk stream shuffles
+    exactly twice (once on hash, once on doc_id for reassembly).  A
+    viral boilerplate chunk concentrates its copies on one reducer at
+    join time — that is wall-clock skew, not memory risk (streaming
+    hash probe, nothing buffered), and this join is order-insensitive
+    so AQE skew splitting is safe to enable for it at warehouse scale."""
+    raw = _read(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if len(raw.inputFiles()) < par:
+        raw = raw.repartition(par * 2, "doc_id")
+    docs = raw.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.split("text", " +").alias("w"),
+    )
+    # posexplode_OUTER: a plain generate would let Catalyst infer a
+    # size()>0 filter and sink the whole chunk transform below the
+    # repartition Exchange (the serial-scan pathology measured on
+    # ngram_jaccard); outer generates admit no inferred filter.
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.expr(
+                f"transform(sequence(0, (size(w) - 1) div {_PARA_W}),"
+                f" i -> concat_ws(' ', slice(w, i * {_PARA_W} + 1, {_PARA_W})))"
+            )
+        ).alias("idx", "chunk"),
+    ).filter(F.col("chunk").isNotNull())
+    hashed = chunks.select(
+        "doc_id", "idx", "chunk", F.md5("chunk").alias("h")
+    )
+    owners = hashed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("own")
+    )
+    kept = hashed.join(owners, "h").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("own.doc_id"))
+        & (F.col("idx") == F.col("own.idx")),
+    )
+    # collect_list skips the NULLs that when() leaves for dropped
+    # chunks; array_sort on struct(idx, chunk) restores document order.
+    return kept.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "case when keep then struct(idx, chunk) end)),"
+                    " s -> s.chunk)"
+                ),
+                " ",
+            )
+        ).alias("dedup_md5"),
+    )
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split_regex(text, ' +') AS w
+  FROM documents
+), g0 AS (
+  SELECT doc_id,
+    unnest(range(CAST((len(w) + {_PARA_W - 1}) // {_PARA_W} AS BIGINT))) AS i,
+    w
+  FROM d
+), c AS (
+  SELECT doc_id, CAST(i AS INT) AS idx,
+    array_to_string(
+      w[CAST(i * {_PARA_W} + 1 AS INT):CAST(i * {_PARA_W} + {_PARA_W} AS INT)],
+      ' ') AS chunk
+  FROM g0
+), k AS (
+  SELECT doc_id, idx, chunk,
+    row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) = 1
+      AS keep
+  FROM c
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+  md5(COALESCE(
+    string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY idx), ''))
+    AS dedup_md5
+FROM k GROUP BY doc_id
+"""
+
+
 # -- registry --------------------------------------------------------------
 
 _PPL_MIN_CNT = 4  # vocab frequency floor: rarer words are OOV
@@ -2995,6 +3097,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bm25_topk": (q_bm25_topk, BM25_SQL),
     "ann_kmeans": (q_ann_kmeans, ANN_KMEANS_SQL),
     "perplexity_bucket": (q_perplexity_bucket, PERPLEXITY_BUCKET_SQL),
+    "paragraph_dedup": (q_paragraph_dedup, PARAGRAPH_DEDUP_SQL),
 }
 
 

@@ -39,6 +39,7 @@ SUBSET = [
     "bm25_topk",
     "ann_kmeans",
     "perplexity_bucket",
+    "paragraph_dedup",
 ]
 
 
@@ -126,6 +127,38 @@ def test_ngram_df_cap_suppresses_hot_gram(spark, tmp_path):
     assert len(got) == 1
     assert {got.loc[0, "doc_a"], got.loc[0, "doc_b"]} == {"near-a", "near-b"}
     assert got.loc[0, "jaccard"] == 1.0
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark, tmp_path):
+    """RefinedWeb-style sub-document dedup: a chunk repeated across
+    documents survives only at its globally first (doc_id, idx) home;
+    the later copy is dropped and the reassembled text reflects it."""
+    shared = "alpha beta gamma delta epsilon"  # exactly _PARA_W words
+    rows = [
+        ("doc-a", f"{shared} one two three four five"),
+        ("doc-b", f"zero nine eight seven six {shared}"),
+    ]
+    d = str(tmp_path / "para")
+    spark.createDataFrame(rows, "doc_id string, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = (
+        R.q_paragraph_dedup(spark, d)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    import hashlib
+
+    # doc-a owns the shared chunk (lexicographically first doc_id)
+    assert got.loc["doc-a", "n_kept"] == 2
+    assert got.loc["doc-a", "n_dropped"] == 0
+    assert got.loc["doc-b", "n_kept"] == 1
+    assert got.loc["doc-b", "n_dropped"] == 1
+    assert (
+        got.loc["doc-b", "dedup_md5"]
+        == hashlib.md5(b"zero nine eight seven six").hexdigest()
+    )
 
 
 def test_no_per_row_python_udfs_anywhere():
