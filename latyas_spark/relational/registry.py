@@ -2846,6 +2846,140 @@ ORDER BY idist ASC, vec_id ASC LIMIT 10
 """
 
 
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation funnel as ONE declarative DAG —
+    quality gate -> exact dedup (canonical keep) -> benchmark
+    decontamination -> per-language curation report with the surviving
+    token budget.  This is the query a corpus owner actually runs; the
+    individual operators (quality_score, dedup_exact, decontaminate)
+    are its unit-testable pieces.
+
+    100 TB shape of the main path: scan -> window on the content
+    fingerprint (ONE exchange; the canonical-keep decision needs no
+    join back) -> broadcast left-join of the tiny contaminated-id set
+    -> one combinable per-language agg.  The benchmark gram set is
+    corpus-derived here only because the sandbox has no external eval
+    suite (same 1/97 slice convention as q_decontaminate); in
+    production it is a fixed broadcast artifact and the bench branch's
+    extra scan disappears.  Funnel order matters and is fixed: dedup
+    canonical ownership is decided among QUALITY SURVIVORS (a
+    quality-failing copy must not shadow a passing one), and
+    decontamination applies last so the report shows what each gate
+    removed.  (Exact copies share their quality verdict by
+    construction, so gating ownership on q is belt-and-braces; it
+    matters the day the fingerprint becomes a normalized/fuzzy one.)"""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " +")
+    n_words = F.size(words)
+    n_sym = F.length("text") - F.length(
+        F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")
+    )
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.col("doc_id") % 97 == 0).alias("is_bench"),
+        "lang",
+        words.alias("ws"),
+        n_words.alias("n_words"),
+        F.md5("text").alias("fp"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) / n_words, 4
+        ).alias("mwl"),
+        F.round(n_sym / F.length("text"), 4).alias("symr"),
+    ).withColumn(
+        "q",
+        (F.col("n_words") >= 10)
+        & (F.col("n_words") <= 1000)
+        & (F.col("mwl") >= 2.0)
+        & (F.col("mwl") <= 12.0)
+        & (F.col("symr") <= 0.2),
+    )
+    g = base.select("doc_id", "is_bench", F.expr(_DECON_GRAMS).alias("grams"))
+    bench_grams = (
+        g.filter("is_bench").select(F.explode("grams").alias("gram")).distinct()
+    )
+    hits = (
+        g.filter(~F.col("is_bench"))
+        .select("doc_id", F.explode(F.array_distinct("grams")).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    corpus = base.filter(~F.col("is_bench"))
+    # Canonical = lexicographically-first QUALITY-PASSING doc per
+    # fingerprint; min() ignores the NULLs that when() leaves for
+    # failing docs, so a failing copy never owns the group.
+    owner = F.min(F.when(F.col("q"), F.col("doc_id"))).over(
+        Window.partitionBy("fp")
+    )
+    flagged = (
+        corpus.withColumn("canon", F.col("q") & (F.col("doc_id") == owner))
+        .join(F.broadcast(hits), "doc_id", "left")
+        .withColumn("clean", F.coalesce(~F.col("contaminated"), F.lit(True)))
+    )
+    keep = F.col("canon") & F.col("clean")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("q").cast("long")).alias("n_quality"),
+        F.sum(F.col("canon").cast("long")).alias("n_unique"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(keep, F.col("n_words"))), F.lit(0)
+        ).cast("long").alias("tokens_kept"),
+    )
+
+
+CORPUS_CURATE_SQL = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+    doc_id % 97 = 0 AS is_bench,
+    lang,
+    string_split_regex(trim(text), ' +') AS ws,
+    len(string_split_regex(trim(text), ' +')) AS n_words,
+    md5(text) AS fp,
+    round(length(replace(text, ' ', ''))
+      * 1.0 / len(string_split_regex(trim(text), ' +')), 4) AS mwl,
+    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '',
+      'g'))) * 1.0 / length(text), 4) AS symr
+  FROM documents
+), q AS (
+  SELECT *,
+    n_words >= 10 AND n_words <= 1000 AND mwl >= 2.0 AND mwl <= 12.0
+      AND symr <= 0.2 AS q
+  FROM base
+), g AS (
+  SELECT doc_id, is_bench,
+    CASE WHEN len(ws) < {DECON_N} THEN []
+    ELSE list_transform(range(1, len(ws) - {DECON_N - 2}),
+      i -> {" || ' ' || ".join(f"ws[i+{j}]" for j in range(DECON_N))})
+    END AS grams
+  FROM q
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_bench
+), hits AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(list_distinct(grams)) AS gram
+        FROM g WHERE NOT is_bench) c
+  JOIN bench USING (gram)
+), flagged AS (
+  SELECT q.*,
+    q.q AND q.doc_id = min(CASE WHEN q.q THEN q.doc_id END)
+      OVER (PARTITION BY q.fp) AS canon,
+    h.doc_id IS NULL AS clean
+  FROM q LEFT JOIN hits h ON q.doc_id = h.doc_id
+  WHERE NOT q.is_bench
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+  CAST(SUM(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+  CAST(SUM(CASE WHEN canon AND clean THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(COALESCE(SUM(CASE WHEN canon AND clean THEN n_words END), 0)
+    AS BIGINT) AS tokens_kept
+FROM flagged GROUP BY lang
+"""
+
+
 _PARA_W = 5  # words per chunk ("paragraph" analog for newline-free corpora)
 
 
@@ -3098,6 +3232,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_kmeans": (q_ann_kmeans, ANN_KMEANS_SQL),
     "perplexity_bucket": (q_perplexity_bucket, PERPLEXITY_BUCKET_SQL),
     "paragraph_dedup": (q_paragraph_dedup, PARAGRAPH_DEDUP_SQL),
+    "corpus_curate": (q_corpus_curate, CORPUS_CURATE_SQL),
 }
 
 

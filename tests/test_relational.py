@@ -40,6 +40,7 @@ SUBSET = [
     "ann_kmeans",
     "perplexity_bucket",
     "paragraph_dedup",
+    "corpus_curate",
 ]
 
 
@@ -159,6 +160,34 @@ def test_paragraph_dedup_keeps_first_occurrence(spark, tmp_path):
         got.loc["doc-b", "dedup_md5"]
         == hashlib.md5(b"zero nine eight seven six").hexdigest()
     )
+
+
+def test_corpus_curate_funnel_gates(spark, tmp_path):
+    """Every funnel gate must bite on a corpus built to trip each one:
+    a quality failure, an exact duplicate pair, and a doc sharing a
+    3-gram with the benchmark slice (doc_id % 97 == 0)."""
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, "lorem ipsum dolor sit amet consectetur adipiscing elit", "en"),
+        (1, dup, "en"),
+        (2, dup, "en"),
+        (3, "x", "en"),  # fails n_words >= 10
+        (4, "one two three four five six seven eight nine ten", "en"),
+        (5, "lorem ipsum dolor plus many extra words here to fill", "en"),
+    ]
+    d = str(tmp_path / "curate")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = R.q_corpus_curate(spark, d).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    # doc 0 is the benchmark slice; 5 corpus docs remain
+    assert r["n_docs"] == 5
+    assert r["n_quality"] == 4  # doc 3 fails
+    assert r["n_unique"] == 3  # dup pair collapses to doc 1
+    assert r["n_kept"] == 2  # doc 5 contaminated by 'lorem ipsum dolor'
+    assert r["tokens_kept"] == 20  # docs 1 and 4, 10 words each
 
 
 def test_no_per_row_python_udfs_anywhere():
