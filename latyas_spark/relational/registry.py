@@ -1357,6 +1357,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands, while random pairs mostly never collide — the right trade
     for dedup, where misses cost a duplicate but comparisons cost
     quadratic work.
+
+    ONE scan of the embeddings table: the bucket-frequency cap is a
+    window count over the (band, sig) exchange, the <=64-row posting
+    lists carry the vectors themselves (64 x ~300 B per bucket), and
+    candidate pairs explode map-side with both vectors attached — no
+    bucket-count branch, no self-join, no join-back to fetch vectors
+    (the previous shape planned SIX scans of the corpus-sized table).
+    Cross-band duplicate candidates collapse with dropDuplicates on
+    the id pair; the attached vectors are functionally dependent on
+    the ids, so whichever copy survives is value-identical.
     """
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1377,27 +1387,37 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(8)
         ]
     )
-    x = emb.select("vec_id", F.explode(band_sigs).alias("bs")).select(
-        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
-    capped = (
-        x.groupBy("band", "sig").count().filter(F.col("count") <= 64)
-        .select("band", "sig")
-    )
-    xs = x.join(capped, ["band", "sig"])
-    cand = (
-        xs.alias("a")
-        .join(
-            xs.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+    # explode_outer: blocks InferFiltersFromGenerate duplicating the
+    # 64-term sign-bit expression into a scan-side filter.
+    x = (
+        emb.select("vec_id", "v", F.explode_outer(band_sigs).alias("bs"))
+        .filter(F.col("bs").isNotNull())
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            "vec_id",
+            "v",
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
         )
-        .distinct()
+    )
+    wcnt = F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+    cand = (
+        x.withColumn("cnt", wcnt)
+        .filter(F.col("cnt") <= 64)
+        .groupBy("band", "sig")
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(array_sort(ids), (a, i) ->"
+                    " transform(slice(array_sort(ids), i + 2, size(ids)),"
+                    " b -> struct(a.vec_id as vec_a, a.v as va,"
+                    " b.vec_id as vec_b, b.v as vb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.vec_a", "p.va", "p.vec_b", "p.vb")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
     dot = F.expr(
         "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double),"
@@ -1405,18 +1425,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = F.expr("aggregate(va, cast(0 as double), (s, x) -> s + x * x)")
     nb = F.expr("aggregate(vb, cast(0 as double), (s, x) -> s + x * x)")
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    ebb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    return (
-        cand.join(ea, "vec_a")
-        .join(ebb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 3).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.3)
-    )
+    return cand.select(
+        "vec_a",
+        "vec_b",
+        F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 3).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= 0.3)
 
 
 DEDUP_EMBEDDING_SQL = """
@@ -2138,13 +2151,24 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_grams = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), " +").alias("ws")
     ).select("doc_id", F.expr(_DECON_GRAMS).alias("grams"))
+    # explode_OUTER everywhere an explode sits above the gram
+    # transform: a plain explode lets Catalyst infer size(grams)>0
+    # (InferFiltersFromGenerate) and duplicate the whole transform into
+    # a scan-side Filter — the gram expression then evaluates twice per
+    # row (once as predicate, once as projection).
     bench = (
         with_grams.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode("grams").alias("gram"))
+        .select(F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .distinct()
     )
-    corpus = with_grams.filter(F.col("doc_id") % 97 != 0).select(
-        "doc_id", F.explode(F.array_distinct("grams")).alias("gram")
+    corpus = (
+        with_grams.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            F.explode_outer(F.array_distinct("grams")).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
     )
     return (
         corpus.join(F.broadcast(bench), "gram")
@@ -2894,12 +2918,22 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("symr") <= 0.2),
     )
     g = base.select("doc_id", "is_bench", F.expr(_DECON_GRAMS).alias("grams"))
+    # explode_outer: see q_decontaminate — blocks the inferred
+    # size(grams)>0 filter that would double-evaluate the gram
+    # transform at the scan.
     bench_grams = (
-        g.filter("is_bench").select(F.explode("grams").alias("gram")).distinct()
+        g.filter("is_bench")
+        .select(F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .distinct()
     )
     hits = (
         g.filter(~F.col("is_bench"))
-        .select("doc_id", F.explode(F.array_distinct("grams")).alias("gram"))
+        .select(
+            "doc_id",
+            F.explode_outer(F.array_distinct("grams")).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
         .join(F.broadcast(bench_grams), "gram")
         .select("doc_id")
         .distinct()
@@ -2990,16 +3024,16 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence of each distinct chunk (min (doc_id, idx)), and
     reassemble each document from its surviving chunks in order.
 
-    100 TB shape: the corpus is scanned ONCE; the first-occurrence
-    owner per chunk hash is a combinable min(struct) agg (map-side
-    partial min, reducer state = one 16-byte struct per distinct hash);
-    the keep decision is an equi-join on the hash that reuses the agg's
-    partitioning on the owners side, so the chunk stream shuffles
-    exactly twice (once on hash, once on doc_id for reassembly).  A
-    viral boilerplate chunk concentrates its copies on one reducer at
-    join time — that is wall-clock skew, not memory risk (streaming
-    hash probe, nothing buffered), and this join is order-insensitive
-    so AQE skew splitting is safe to enable for it at warehouse scale."""
+    100 TB shape: the corpus is scanned ONCE — the first-occurrence
+    owner per chunk hash is a min(struct) WINDOW over the hash
+    partitioning, which hands every chunk row its owner in the same
+    exchange (an owner-agg + join-back would make Spark recompute the
+    scan and chunk transform for the probe side; measured as a second
+    full scan in the plan).  The chunk stream shuffles exactly twice
+    (once on hash for ownership, once on doc_id for reassembly).  A
+    viral boilerplate chunk concentrates its copies in one hash
+    partition — WindowExec sorts with spill to executor-local disk, so
+    that is wall-clock skew, not memory risk."""
     raw = _read(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     if len(raw.inputFiles()) < par:
@@ -3024,10 +3058,8 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = chunks.select(
         "doc_id", "idx", "chunk", F.md5("chunk").alias("h")
     )
-    owners = hashed.groupBy("h").agg(
-        F.min(F.struct("doc_id", "idx")).alias("own")
-    )
-    kept = hashed.join(owners, "h").withColumn(
+    own = F.min(F.struct("doc_id", "idx")).over(Window.partitionBy("h"))
+    kept = hashed.withColumn("own", own).withColumn(
         "keep",
         (F.col("doc_id") == F.col("own.doc_id"))
         & (F.col("idx") == F.col("own.idx")),
@@ -3115,13 +3147,19 @@ def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " +").alias("w")
     )
     tokens = docs.select("doc_id", F.explode("w").alias("word"))
-    stats = docs.agg(F.sum(F.size("w")).alias("t")).select(
+    # Both the token budget (total count) and the vocab derive from the
+    # SAME word-count aggregate: the two consumers share an identical
+    # subtree up to the Exchange, so Spark plans a ReusedExchange and
+    # the corpus is scanned once for LM training (deriving the total
+    # from a separate docs.agg() re-scanned the corpus twice more —
+    # measured 4 scans in the plan, now 2: train + score, the CCNet
+    # minimum).
+    wc = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = wc.agg(F.sum("cnt").alias("t")).select(
         F.floor(F.log2("t")).cast("long").alias("bbudget")
     )
     vocab = (
-        tokens.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= _PPL_MIN_CNT)
+        wc.filter(F.col("cnt") >= _PPL_MIN_CNT)
         .crossJoin(F.broadcast(stats))
         .select(
             "word",
