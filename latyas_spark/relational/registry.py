@@ -603,7 +603,11 @@ def q_dual_arbitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = synth_blocks(spark, sf_dir).withColumn("kind", _classify_col())
     rs, H = 2.0, 550.0
     layer = b.filter(F.col("text").isNotNull()).select(
-        "doc_id", "page",
+        # renamed keys: dets and layer share lineage (same synth scan),
+        # so name-distinct join keys keep the equi-condition unambiguous
+        # without leaning on dataset-id self-join disambiguation
+        F.col("doc_id").alias("l_doc_id"),
+        F.col("page").alias("l_page"),
         F.col("offset").alias("l_offset"),
         F.col("text").alias("l_text"),
         (F.col("x1") / rs).alias("lx1"),
@@ -629,22 +633,27 @@ def q_dual_arbitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.greatest(iw, F.lit(0.0)) * F.greatest(ih, F.lit(0.0))
     area_q = (F.col("qx2") - F.col("qx1")) * (F.col("qy2") - F.col("qy1"))
     area_l = (F.col("lx2") - F.col("lx1")) * (F.col("ly2") - F.col("ly1"))
-    pairs = dets.join(layer, ["doc_id", "page"]).filter(
-        inter > 0.5 * F.least(area_q, area_l)
-    )
-    gathered = pairs.groupBy("doc_id", "page", "offset", "ocr").agg(
+    # LEFT theta-join keeps detections whose gather is empty (they
+    # arbitrate vs ''), so no third scan + join-back of the detection
+    # side is needed; collect_list skips the when()-NULLs the unmatched
+    # rows leave behind.
+    pairs = dets.join(
+        layer,
+        (F.col("doc_id") == F.col("l_doc_id"))
+        & (F.col("page") == F.col("l_page"))
+        & (inter > 0.5 * F.least(area_q, area_l)),
+        "left",
+    ).select("doc_id", "page", "offset", "ocr", "l_offset", "l_text")
+    full = pairs.groupBy("doc_id", "page", "offset", "ocr").agg(
         F.array_join(
             F.expr(
-                "transform(array_sort(collect_list(struct(l_offset, l_text))),"
-                " s -> s.l_text)"
+                "transform(array_sort(collect_list("
+                "case when l_text is not null"
+                " then struct(l_offset, l_text) end)), s -> s.l_text)"
             ),
             "",
         ).alias("pdf_text")
     )
-    # left join back so detections whose gather is empty arbitrate vs ''
-    full = dets.select("doc_id", "page", "offset", "ocr").join(
-        gathered, ["doc_id", "page", "offset", "ocr"], "left"
-    ).withColumn("pdf_text", F.coalesce(F.col("pdf_text"), F.lit("")))
     rel = F.levenshtein("ocr", "pdf_text") / F.greatest(
         F.length("ocr"), F.length("pdf_text")
     )
