@@ -210,6 +210,114 @@ FROM stacked
 """
 
 
+def synth_blocks_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conflict-free mixed text+equation family (KERNEL_COLS shape).
+
+    One box per 80px line band per (doc_id, page): y1 = band * 80
+    exactly, so the mix kernel's band snap is the identity and every
+    box sits alone on its row.  On this family every data-dependent
+    branch of the interleave provably no-ops:
+
+      * ``merge_same_row`` sees no same-row pair -> identity;
+      * ``split_conflict`` sees no text/latex row conflict -> no
+        truncate/split/re-enqueue;
+      * the re-recognition gather returns each text box's own content
+        (no other box shares its row);
+      * the ``\\tag`` splice needs an isolated formula and a text box
+        on ONE row -> never fires;
+      * contents carry no ``$``/backslash/brace, so to_katex and
+        normalize_inline reduce to space-collapse + trim.
+
+    What remains — classify, conf filter, kind routing, $/$$ wrapping,
+    row-major assembly, final strip — is ANSI-SQL, so the REAL kernel
+    (registry.q_mix_simple runs compose_mixed_page unchanged) is
+    hash-checked end-to-end on this slice; the general corpus stays
+    rows-only (q_mix_interleave, pinned by tests/test_mixkernel.py).
+    Mirrored in SYNTH_MIX_SQL.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    labels_arr = F.array(*[F.lit(s) for s in ADAPTER_LABELS])
+    base = ev.select(
+        F.concat(
+            F.lit("mixdoc-"), F.lpad((F.col("user_id") % 200).cast("string"), 5, "0")
+        ).alias("doc_id"),
+        (F.col("event_id") % 3).cast("int").alias("page"),
+        F.col("event_id"),
+        ((F.col("event_id") * 131) % 700).cast("double").alias("x1"),
+        (40 + (F.col("event_id") * 17) % 260).cast("double").alias("w"),
+        (((F.col("event_id") * 7) % 100) / 100.0).alias("conf"),
+        F.element_at(labels_arr, ((F.col("event_id") * 13) % 18 + 1).cast("int")).alias(
+            "label"
+        ),
+        F.col("event_type"),
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("doc_id", "page").orderBy("event_id")
+    banded = base.select(
+        "doc_id", "page", "event_id", "x1", "w", "conf", "label", "event_type",
+        ((F.row_number().over(wp) - 1) * 80).cast("double").alias("y1"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("event_id")
+    return banded.select(
+        "doc_id",
+        "page",
+        (F.row_number().over(wd) - 1).cast("int").alias("offset"),
+        "x1",
+        "y1",
+        (F.col("x1") + F.col("w")).alias("x2"),
+        (F.col("y1") + 64).alias("y2"),
+        "conf",
+        "label",
+        F.when(
+            F.col("label").isin(*MEDIA_LABELS), F.lit(None).cast("string")
+        )
+        .otherwise(F.concat("event_type", F.lit(" "), F.col("event_id").cast("string")))
+        .alias("text"),
+        F.when(
+            F.col("label").isin(*MEDIA_LABELS),
+            F.concat(F.lit("media://"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("media_ref"),
+    )
+
+
+SYNTH_MIX_SQL = """
+WITH mixbase AS (
+  SELECT
+    'mixdoc-' || lpad(CAST(user_id % 200 AS VARCHAR), 5, '0') AS doc_id,
+    CAST(event_id % 3 AS INT) AS page,
+    event_id,
+    CAST((event_id * 131) % 700 AS DOUBLE) AS x1,
+    CAST(40 + (event_id * 17) % 260 AS DOUBLE) AS w,
+    ((event_id * 7) % 100) / 100.0 AS conf,
+    (['text','Text','title','figure','figure_caption','table','header',
+      'footer','reference','equation','embedeq','TOC','list','icon',
+      'qrcode','textwithequation','blob','caption'])[
+        CAST((event_id * 13) % 18 + 1 AS INT)] AS label,
+    event_type
+  FROM events
+), mixbanded AS (
+  SELECT *,
+    CAST((row_number() OVER (PARTITION BY doc_id, page ORDER BY event_id)
+          - 1) * 80 AS DOUBLE) AS y1
+  FROM mixbase
+)
+SELECT
+  doc_id, page,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY event_id) - 1 AS INT)
+    AS "offset",
+  x1, y1, x1 + w AS x2, y1 + 64 AS y2, conf, label,
+  CASE WHEN label IN ('figure','icon','qrcode') THEN NULL
+       ELSE event_type || ' ' || CAST(event_id AS VARCHAR) END AS text,
+  CASE WHEN label IN ('figure','icon','qrcode')
+       THEN 'media://' || CAST(event_id AS VARCHAR)
+       ELSE NULL END AS media_ref
+FROM mixbanded
+"""
+
+
 def synth_table_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet -> detected table-structure objects (M11 input
     shape): per table, row/column/header boxes plus text tokens, as one

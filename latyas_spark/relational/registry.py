@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..pipeline.adapter import (
     SYNTH_BLOCKS_SQL,
+    SYNTH_MIX_SQL,
     SYNTH_SIMPLE_SQL,
     synth_blocks,
 )
@@ -1967,12 +1968,10 @@ OCR_ROUTE_SQL = _ocr_route_sql(PAPER_RULES)
 OCR_ROUTE_REPORT_SQL = _ocr_route_sql(REPORT_RULES)
 
 
-def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interleaved text+equation markdown per page — the reference's
-    mixed-OCR path (mix_inference.py:44-264) as a doc-partitioned
-    mapInPandas kernel over the events-derived corpus.  Rows-only
-    check: the heap split/truncate sweep is data-dependent; Spark-vs-
-    local equality is pinned by tests/test_mixkernel.py."""
+def _mix_markdown(blocks: DataFrame, spark: SparkSession) -> DataFrame:
+    """Shared mix-interleave kernel wrapper: doc-partitioned
+    mapInPandas running compose_mixed_page (mix_inference.py:44-264)
+    over any KERNEL_COLS-shaped blocks frame."""
     import pandas as pd
 
     from ..core.blocktypes import (
@@ -1982,7 +1981,6 @@ def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         kind_from_label,
     )
     from ..core.mixkernel import compose_mixed_page
-    from ..pipeline.adapter import synth_blocks
     from ..pipeline.extract import _sorted_partition_chunks
 
     def run(batches):
@@ -2031,13 +2029,70 @@ def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blocks = synth_blocks(spark, sf_dir)
     shaped = blocks.repartition(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "doc_id"
     )
     return shaped.mapInPandas(
         run, schema="doc_id string, page int, markdown string"
     )
+
+
+def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+equation markdown per page — the reference's
+    mixed-OCR path (mix_inference.py:44-264) as a doc-partitioned
+    mapInPandas kernel over the events-derived corpus.  Rows-only
+    check: the heap split/truncate sweep is data-dependent; Spark-vs-
+    local equality is pinned by tests/test_mixkernel.py."""
+    from ..pipeline.adapter import synth_blocks
+
+    return _mix_markdown(synth_blocks(spark, sf_dir), spark)
+
+
+def q_mix_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial SQL oracle for the mix-interleave path (the mix analog
+    of q_flagship_simple): the REAL kernel (compose_mixed_page — merge
+    sweep, split/truncate, re-recognition gather, to_katex, $/$$
+    wrapping, \\tag splice, row-major assembly) runs over a family
+    whose geometry provably no-ops every data-dependent branch (one
+    box per 80px line band; see adapter.synth_blocks_mix).  On that
+    slice the composition reduces to classify -> conf filter -> wrap
+    -> ordered string_agg -> trim, which DuckDB hash-checks — so the
+    driver verifies the mixed-OCR DAG end to end while the general
+    corpus stays rows-only."""
+    from ..pipeline.adapter import synth_blocks_mix
+
+    return _mix_markdown(synth_blocks_mix(spark, sf_dir), spark)
+
+
+# Text kinds (blocktypes.TEXT_KINDS) in CLASSIFY_SQL_CASE's naming;
+# 'textwithequation' maps to 'text' via the ordered-substring quirk.
+_MIX_TEXT_KINDS_SQL = (
+    "('text','caption','figurecaption','tablecaption','title',"
+    "'reference','header','footer')"
+)
+
+MIX_SIMPLE_SQL = f"""
+WITH blocks AS (
+{SYNTH_MIX_SQL}
+), k AS (
+  SELECT doc_id, page, y1, text, {CLASSIFY_SQL_CASE} AS kind
+  FROM blocks WHERE conf > 0.3
+), wrapped AS (
+  SELECT doc_id, page, y1,
+    CASE WHEN kind = 'equation'
+           THEN chr(10) || chr(10) || '$$' || text || '$$'
+                || chr(10) || chr(10)
+         WHEN kind = 'embedeq' THEN ' $' || text || '$ '
+         ELSE text END AS content
+  FROM k
+  WHERE (kind IN {_MIX_TEXT_KINDS_SQL} OR kind IN ('equation', 'embedeq'))
+    AND text IS NOT NULL AND text <> ''
+)
+SELECT doc_id, page,
+  trim(string_agg(content, ' ' ORDER BY y1), ' ' || chr(10)) AS markdown
+FROM wrapped
+GROUP BY doc_id, page
+"""
 
 
 def q_dual_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3265,6 +3320,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "position_rank": (q_position_rank, POSITION_RANK_SQL),
     "dual_arbitrate": (q_dual_arbitrate, DUAL_ARBITRATE_SQL),
     "mix_interleave": (q_mix_interleave, None),
+    "mix_simple": (q_mix_simple, MIX_SIMPLE_SQL),
     "flagship_extract": (q_flagship_extract, None),
     "flagship_simple": (q_flagship_simple, FLAGSHIP_SIMPLE_SQL),
     "dual_extract": (q_dual_extract, None),

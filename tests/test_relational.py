@@ -35,6 +35,7 @@ SUBSET = [
     "position_rank",
     "dual_arbitrate",
     "flagship_simple",
+    "mix_simple",
     "quality_score",
     "bm25_topk",
     "ann_kmeans",
