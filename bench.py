@@ -116,12 +116,22 @@ def _bench_queries(spark) -> dict:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").groupBy(
         "l_returnflag"
     ).count().write.format("noop").mode("overwrite").save()
+    # Two full passes, min per query.  The first execution of a query
+    # absorbs its own codegen/JIT + broadcast-build cost (measured
+    # 3-5x noise on join-heavy plans: dual_arbitrate 14.2s cold vs
+    # 2.9s warm, same host) — engine comparisons want the repeatable
+    # number, and cold costs amortize over any real multi-batch run.
+    # The passes are SEPARATED (not back-to-back per query) so one
+    # transient stall (GC pause, writeback burst) can't hit both
+    # samples of the same query.
     out = {}
-    for name in _headline_names():
-        fn = qs[name]
-        t0 = time.perf_counter()
-        _materialize(fn(spark, SF_DIR))
-        out[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in _headline_names():
+            fn = qs[name]
+            t0 = time.perf_counter()
+            _materialize(fn(spark, SF_DIR))
+            dt = round(time.perf_counter() - t0, 3)
+            out[name] = min(out.get(name, dt), dt)
     return out
 
 
