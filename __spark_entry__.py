@@ -49,7 +49,9 @@ def oracle_sql() -> dict[str, str]:
     * ``dual_extract`` — the pdf2txt.py dual-source variant (same
       xy-cut recursion); golden suite tests/test_dual_and_presets.py
       plus a Spark-vs-local equality pin; its SQL-expressible
-      arbitration slice IS oracle-checked as ``dual_arbitrate``.
+      arbitration slice IS oracle-checked as ``dual_arbitrate``, and
+      the WHOLE dual DAG is oracle-checked end-to-end on a
+      recursion-degenerate family as ``dual_simple``.
     * ``boilerplate_cetd`` — CETD DOM-tree density strip;
       tests/test_boilerplate.py Spark-vs-local equality.
     * ``mix_interleave`` — heap split/truncate interleave

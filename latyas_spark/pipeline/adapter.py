@@ -174,6 +174,32 @@ def synth_blocks_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_blocks_dual_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut-free family + the dual-source (E2) columns: the
+    synth_blocks_simple geometry (xy-cut provably degenerates to an
+    ascending-y sort; zero pair intersections, so overlap-merge is the
+    identity) with synth_blocks_dual's deterministic OCR corruption and
+    the text-layer rect as the exact C7 image of the bbox (rs=2,
+    H=550).  Because every page's blocks are y-disjoint, each
+    detection's flipped bbox intersects exactly its own layer rect —
+    the gather stage provably returns the row's own text — so the WHOLE
+    dual pipeline (pdf2txt.py:52-100) is SQL-expressible on this family
+    (registry.DUAL_SIMPLE_SQL)."""
+    b = synth_blocks_simple(spark, sf_dir)
+    rs, H = 2.0, 550.0
+    return b.select(
+        "*",
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .when(F.col("offset") % 4 == 0, F.reverse(F.col("text")))
+        .otherwise(F.translate(F.col("text"), "ae", "ea"))
+        .alias("ocr_text"),
+        (F.col("x1") / rs).alias("lx1"),
+        (H - F.col("y2") / rs).alias("ly1"),
+        (F.col("x2") / rs).alias("lx2"),
+        (H - F.col("y1") / rs).alias("ly2"),
+    )
+
+
 SYNTH_SIMPLE_SQL = """
 WITH base AS (
   SELECT

@@ -2112,6 +2112,93 @@ def q_dual_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans_flat(synth_blocks_dual(spark, sf_dir), cfg, dual=True)
 
 
+def q_dual_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial SQL oracle for the DUAL (pdf2txt.py) DAG — the dual twin
+    of q_flagship_simple: the REAL dual kernel (conf filter -> classify
+    -> overlap merge -> C7 flip -> gather -> levenshtein arbitration ->
+    CJK filters -> xy-cut -> emit, extract_page_dual) runs end-to-end
+    over a family where every data-dependent stage provably
+    degenerates:
+
+      * synth_blocks_simple geometry: zero pair intersections (merge =
+        identity), all-pairs x-overlap + >=26px y-gaps (xy-cut ==
+        ascending-y sort);
+      * layer rects are the exact C7 image of each bbox and pages are
+        y-disjoint, so the gather returns exactly the row's own text;
+      * arbitration (lev(ocr, native)/maxlen < 0.2 -> native else ocr)
+        and the CJK filters are directly SQL-expressible.
+
+    So the driver hash-checks the dual pipeline END TO END here —
+    including the doc-wide order — while the general dual corpus
+    (q_dual_extract) stays rows-only under its golden suite."""
+    from dataclasses import replace
+
+    from ..core.document import DEFAULT_CONFIG
+    from ..pipeline.adapter import synth_blocks_dual_simple
+    from ..pipeline.extract import extract_spans_flat
+
+    cfg = replace(DEFAULT_CONFIG, page_height=550.0)
+    return extract_spans_flat(
+        synth_blocks_dual_simple(spark, sf_dir), cfg, dual=True
+    )
+
+
+_ARB_SET_SQL = "('text','title','caption')"
+
+DUAL_SIMPLE_SQL = f"""
+WITH blocks AS (
+{SYNTH_SIMPLE_SQL}
+), k AS (
+  SELECT *, {CLASSIFY_SQL_CASE} AS kind FROM blocks
+), layer AS (
+  SELECT doc_id, page, "offset" AS l_offset, text AS l_text,
+    x1 / 2.0 AS lx1, 550.0 - y2 / 2.0 AS ly1,
+    x2 / 2.0 AS lx2, 550.0 - y1 / 2.0 AS ly2
+  FROM k WHERE text IS NOT NULL
+), dets AS (
+  SELECT doc_id, page, "offset", y1 AS dy1, kind,
+    x1 / 2.0 AS qx1, 550.0 - y2 / 2.0 AS qy1,
+    x2 / 2.0 AS qx2, 550.0 - y1 / 2.0 AS qy2,
+    CASE WHEN "offset" % 4 = 0 THEN reverse(text)
+         ELSE translate(text, 'ae', 'ea') END AS ocr
+  FROM k WHERE conf > 0.3 AND kind IN {_ARB_SET_SQL}
+), pairs AS (
+  SELECT d.doc_id, d.page, d."offset", l.l_offset, l.l_text
+  FROM dets d JOIN layer l ON d.doc_id = l.doc_id AND d.page = l.page
+  WHERE greatest(least(d.qx2, l.lx2) - greatest(d.qx1, l.lx1), 0)
+      * greatest(least(d.qy2, l.ly2) - greatest(d.qy1, l.ly1), 0)
+      > 0.5 * least((d.qx2-d.qx1)*(d.qy2-d.qy1), (l.lx2-l.lx1)*(l.ly2-l.ly1))
+    AND least((d.qx2-d.qx1)*(d.qy2-d.qy1), (l.lx2-l.lx1)*(l.ly2-l.ly1)) > 0
+), gathered AS (
+  SELECT doc_id, page, "offset",
+    string_agg(replace(l_text, chr(10), ''), '' ORDER BY l_offset)
+      AS pdf_text
+  FROM pairs GROUP BY doc_id, page, "offset"
+), arb AS (
+  SELECT d.doc_id, d.page, d.dy1, d.kind, d.ocr,
+    COALESCE(g.pdf_text, '') AS pdf_text
+  FROM dets d LEFT JOIN gathered g
+    ON d.doc_id = g.doc_id AND d.page = g.page AND d."offset" = g."offset"
+), picked AS (
+  SELECT doc_id, page, dy1, kind,
+    CASE WHEN levenshtein(ocr, pdf_text) * 1.0
+              / greatest(length(ocr), length(pdf_text), 1) < 0.2
+         THEN pdf_text ELSE ocr END AS text
+  FROM arb
+), emitted AS (
+  SELECT * FROM picked
+  WHERE NOT (text LIKE '图%' OR text LIKE '表%')
+    AND NOT (length(text) < 256
+             AND (text LIKE '%见表%' OR text LIKE '%见图%'))
+)
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY page, dy1) - 1 AS INT)
+    AS "order",
+  kind, text, CAST(NULL AS VARCHAR) AS media_ref
+FROM emitted
+"""
+
+
 def q_flagship_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial SQL oracle for the flagship DAG (VERDICT r1 item 7): the
     REAL page kernel (classify -> merge sweep -> containment -> gather
@@ -3324,6 +3411,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship_extract": (q_flagship_extract, None),
     "flagship_simple": (q_flagship_simple, FLAGSHIP_SIMPLE_SQL),
     "dual_extract": (q_dual_extract, None),
+    "dual_simple": (q_dual_simple, DUAL_SIMPLE_SQL),
     "table_cells": (q_table_cells, TABLE_CELLS_SQL),
     "table_export": (q_table_export, TABLE_EXPORT_SQL),
     "pad_plan": (q_pad_plan, PAD_PLAN_SQL),

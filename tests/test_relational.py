@@ -34,6 +34,7 @@ SUBSET = [
     "ocr_route_report",
     "position_rank",
     "dual_arbitrate",
+    "dual_simple",
     "flagship_simple",
     "mix_simple",
     "quality_score",
