@@ -53,7 +53,10 @@ def oracle_sql() -> dict[str, str]:
       the WHOLE dual DAG is oracle-checked end-to-end on a
       recursion-degenerate family as ``dual_simple``.
     * ``boilerplate_cetd`` — CETD DOM-tree density strip;
-      tests/test_boilerplate.py Spark-vs-local equality.
+      tests/test_boilerplate.py Spark-vs-local equality; the same
+      kernel is oracle-checked end-to-end on a depth-1 family (where
+      the tree recursion provably closes over one level) as
+      ``cetd_simple``.
     * ``mix_interleave`` — heap split/truncate interleave
       (mix_inference.py semantics); tests/test_mixkernel.py
       Spark-vs-local equality.

@@ -1911,6 +1911,108 @@ def q_boilerplate_cetd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cetd_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial SQL oracle for the CETD kernel — the boilerplate twin of
+    flagship_simple/mix_simple/dual_simple: the REAL tree kernel
+    (strip_boilerplate_pdf: synth nodes -> bottom-up subtree sums ->
+    body-branch threshold -> ancestor-propagated keep) runs end-to-end
+    over text truncated to 192 chars, where the implicit binary DOM is
+    provably root + at most two LEAF children (n <= 3):
+
+      * subtree sums close over one level (root = total, leaves = own),
+      * the body pick is a 2-way CASE (larger subtree char count,
+        tie -> node 1),
+      * keep propagation is one parent hop (keep_i = dens_i >= thr OR
+        keep_0).
+
+    So the whole CETD decision procedure is SQL-expressible on this
+    family and the driver hash-checks it cross-engine; the full-depth
+    corpus (q_boilerplate_cetd) stays rows-only under its Spark-vs-
+    local equality test."""
+    from ..core.boilerplate import strip_boilerplate_pdf
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.substring("text", 1, 192).alias("text"),
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "doc_id"
+        )
+    )
+    return docs.mapInPandas(
+        strip_boilerplate_pdf, schema="doc_id string, nid int, chunk string"
+    )
+
+
+_CETD_E = "2.718281828459045"  # math.e, the double the kernel uses
+
+CETD_SIMPLE_SQL = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, substr(text, 1, 192) AS text
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), f AS (
+  SELECT doc_id,
+    CAST(ceil(length(text)/64.0) AS INT) AS n,
+    substr(text, 1, 64) AS ch0,
+    substr(text, 65, 64) AS ch1,
+    substr(text, 129, 64) AS ch2,
+    (CAST(('0x' || substr(md5(doc_id || ':0'), 1, 4)) AS INT) % 7 = 0) AS k0,
+    (CAST(('0x' || substr(md5(doc_id || ':1'), 1, 4)) AS INT) % 7 = 0) AS k1,
+    (CAST(('0x' || substr(md5(doc_id || ':2'), 1, 4)) AS INT) % 7 = 0) AS k2
+  FROM base
+), c AS (
+  SELECT *,
+    length(ch0)*1.0 AS c0, length(ch1)*1.0 AS c1, length(ch2)*1.0 AS c2,
+    CASE WHEN k0 THEN length(ch0)*1.0 ELSE 0.0 END AS l0,
+    CASE WHEN k1 THEN length(ch1)*1.0 ELSE 0.0 END AS l1,
+    CASE WHEN k2 THEN length(ch2)*1.0 ELSE 0.0 END AS l2
+  FROM f
+), s AS (
+  -- one-level subtree closure: leaves 1,2 are their own subtrees; the
+  -- root subtree is the whole doc (tags: one per node -> n)
+  SELECT *,
+    c0 + c1 + c2 AS s0c, l0 + l1 + l2 AS s0l, n*1.0 AS s0t,
+    c1 AS s1c, l1 AS s1l,
+    c2 AS s2c, l2 AS s2l
+  FROM c
+), dens AS (
+  -- composite density (C/T) * ln(C/(L+1) + e), 0 when C <= 0
+  SELECT *,
+    CASE WHEN s0c <= 0 THEN 0.0
+         ELSE (s0c/greatest(s0t, 1.0)) * ln(s0c/(s0l+1.0) + {_CETD_E})
+    END AS d0,
+    CASE WHEN s1c <= 0 THEN 0.0
+         ELSE s1c * ln(s1c/(s1l+1.0) + {_CETD_E})
+    END AS d1,
+    CASE WHEN s2c <= 0 THEN 0.0
+         ELSE s2c * ln(s2c/(s2l+1.0) + {_CETD_E})
+    END AS d2
+  FROM s
+), thr AS (
+  -- body pick: densest-by-chars top-level branch, tie -> node 1;
+  -- 1-node docs fall back to the root density
+  SELECT *,
+    CASE WHEN n >= 3 THEN (CASE WHEN s2c > s1c THEN d2 ELSE d1 END)
+         WHEN n = 2 THEN d1
+         ELSE d0 END AS t
+  FROM dens
+), keep AS (
+  SELECT *,
+    (d0 >= t) AS keep0,
+    (n >= 2 AND (d1 >= t OR d0 >= t)) AS keep1,
+    (n >= 3 AND (d2 >= t OR d0 >= t)) AS keep2
+  FROM thr
+)
+SELECT doc_id, CAST(0 AS INT) AS nid, ch0 AS chunk FROM keep WHERE keep0
+UNION ALL
+SELECT doc_id, CAST(1 AS INT) AS nid, ch1 AS chunk FROM keep WHERE keep1
+UNION ALL
+SELECT doc_id, CAST(2 AS INT) AS nid, ch2 AS chunk FROM keep WHERE keep2
+"""
+
+
 # Preset kind -> OCR-model routing tables (pipeline ctors; see
 # pipeline/presets.py for the cites).  OCR_RULES keeps its r1 name as
 # the paper table.
@@ -3412,6 +3514,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship_simple": (q_flagship_simple, FLAGSHIP_SIMPLE_SQL),
     "dual_extract": (q_dual_extract, None),
     "dual_simple": (q_dual_simple, DUAL_SIMPLE_SQL),
+    "cetd_simple": (q_cetd_simple, CETD_SIMPLE_SQL),
     "table_cells": (q_table_cells, TABLE_CELLS_SQL),
     "table_export": (q_table_export, TABLE_EXPORT_SQL),
     "pad_plan": (q_pad_plan, PAD_PLAN_SQL),

@@ -35,6 +35,7 @@ SUBSET = [
     "position_rank",
     "dual_arbitrate",
     "dual_simple",
+    "cetd_simple",
     "flagship_simple",
     "mix_simple",
     "quality_score",
