@@ -940,6 +940,162 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic increment split for q_dedup_incremental: ~1/8 of docs
+# by an md5 nibble of the id — both engines derive the same shard.
+_NEW_SHARD_PRED = "substr(md5(cast(doc_id as string)), 1, 1) IN ('0', '1')"
+_NEW_SHARD_PRED_DUCK = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')"
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW shard checked against the EXISTING
+    corpus — the continuous-ingest shape of dedup at 100 TB, where you
+    never re-pair the whole corpus, only the increment against a
+    fingerprint index (CCNet/RefinedWeb-style rolling crawls).
+
+    Verdict per new doc: ``exact_dup`` (content md5 already in the
+    index), else ``near_dup`` (shares >= 2 of 4 minhash LSH bands with
+    an index doc), else ``unique``; ``match_doc`` = the min matching
+    index doc.
+
+    Scale shape: the index side is just (doc_id, content-md5, 8 minhash
+    lanes) — ~100 bytes/doc, three orders smaller than the corpus, and
+    in production a PERSISTED table appended to per increment (here
+    both sides derive inline from the one sandbox corpus; the plan
+    shape is identical).  There is NO self-join anywhere: the exact
+    check is an equi-join on the content hash, the near check joins
+    new-side band signatures against index-side signatures only, so
+    cost is |increment| x bucket width, linear in the increment.  Hot
+    index buckets keep the MINHASH_BUCKET_CAP guard (boilerplate
+    signatures, not near-dup signal); a hot NEW bucket needs no cap —
+    each new doc carries exactly 4 signatures, so its probe fan-out is
+    already bounded by 4 x cap."""
+    docs = _read(spark, sf_dir, "documents")
+    tagged = docs.withColumn("is_new", F.expr(_NEW_SHARD_PRED))
+    fp = tagged.select("doc_id", "is_new", F.md5("text").alias("fp"))
+    idx_fp = fp.filter(~F.col("is_new")).select(
+        F.col("fp").alias("i_fp"), F.col("doc_id").alias("i_doc")
+    )
+    exact = (
+        fp.filter("is_new")
+        .join(idx_fp, F.col("fp") == F.col("i_fp"))
+        .groupBy("doc_id")
+        .agg(F.min("i_doc").alias("exact_match"))
+    )
+    words = tagged.select(
+        "doc_id", "is_new", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    hashed = words.select(
+        "doc_id",
+        "is_new",
+        F.expr(
+            "cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint)"
+        ).alias("wh"),
+    )
+    lanes = [
+        F.min(F.expr(f"wh ^ {seed}")).alias(f"m{i}")
+        for i, seed in enumerate(MINHASH_SEEDS)
+    ]
+    wide = hashed.groupBy("doc_id", "is_new").agg(*lanes)
+    sig = wide.select(
+        "doc_id",
+        "is_new",
+        F.expr(
+            "stack(4, 0, concat(m0, ':', m1), 1, concat(m2, ':', m3),"
+            " 2, concat(m4, ':', m5), 3, concat(m6, ':', m7))"
+            " as (band, sig)"
+        ),
+    )
+    bw = Window.partitionBy("band", "sig")
+    idx_sig = (
+        sig.filter(~F.col("is_new"))
+        .withColumn("bucket_n", F.count(F.lit(1)).over(bw))
+        .filter(F.col("bucket_n") <= MINHASH_BUCKET_CAP)
+        .select(F.col("doc_id").alias("i_doc"), "band", "sig")
+    )
+    new_sig = sig.filter("is_new").select("doc_id", "band", "sig")
+    near = (
+        new_sig.join(idx_sig, ["band", "sig"])
+        .groupBy("doc_id", "i_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .groupBy("doc_id")
+        .agg(F.min("i_doc").alias("near_match"))
+    )
+    return (
+        tagged.filter("is_new")
+        .select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+            # string + '' sentinel: NULL-free so the cross-engine value
+            # hash never depends on engine NaN conventions
+            F.coalesce(
+                F.coalesce("exact_match", "near_match").cast("string"),
+                F.lit(""),
+            ).alias("match_doc"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH tagged AS (
+  SELECT doc_id, text, {_NEW_SHARD_PRED_DUCK} AS is_new FROM documents
+), fp AS (
+  SELECT doc_id, is_new, md5(text) AS fp FROM tagged
+), exact AS (
+  SELECT n.doc_id, min(i.doc_id) AS exact_match
+  FROM fp n JOIN fp i ON i.fp = n.fp AND NOT i.is_new
+  WHERE n.is_new GROUP BY n.doc_id
+), words AS (
+  SELECT doc_id, is_new, unnest(string_split(text, ' ')) AS word
+  FROM tagged
+), hashed AS (
+  SELECT doc_id, is_new,
+    CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS wh
+  FROM words WHERE word <> ''
+), wide AS (
+  SELECT doc_id, is_new,
+    {_MINHASH_LANES_SQL}
+  FROM hashed GROUP BY doc_id, is_new
+), sig AS (
+  SELECT doc_id, is_new, 0 AS band,
+    CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR) AS sig FROM wide
+  UNION ALL
+  SELECT doc_id, is_new, 1, CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR) FROM wide
+  UNION ALL
+  SELECT doc_id, is_new, 2, CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR) FROM wide
+  UNION ALL
+  SELECT doc_id, is_new, 3, CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR) FROM wide
+), idx_sig AS (
+  SELECT doc_id AS i_doc, band, sig FROM sig WHERE NOT is_new
+  QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= {MINHASH_BUCKET_CAP}
+), new_sig AS (
+  SELECT doc_id, band, sig FROM sig WHERE is_new
+), near_pairs AS (
+  SELECT n.doc_id, i.i_doc, COUNT(*) AS shared
+  FROM new_sig n JOIN idx_sig i ON n.band = i.band AND n.sig = i.sig
+  GROUP BY n.doc_id, i.i_doc HAVING COUNT(*) >= 2
+), near AS (
+  SELECT doc_id, min(i_doc) AS near_match FROM near_pairs GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+       WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+       ELSE 'unique' END AS verdict,
+  COALESCE(CAST(COALESCE(e.exact_match, nr.near_match) AS VARCHAR), '')
+    AS match_doc
+FROM tagged t
+LEFT JOIN exact e ON e.doc_id = t.doc_id
+LEFT JOIN near nr ON nr.doc_id = t.doc_id
+WHERE t.is_new
+"""
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 16-bit signature from FULL-text per-word md5 bit votes,
     bucketed.
@@ -3515,6 +3671,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dual_extract": (q_dual_extract, None),
     "dual_simple": (q_dual_simple, DUAL_SIMPLE_SQL),
     "cetd_simple": (q_cetd_simple, CETD_SIMPLE_SQL),
+    "dedup_incremental": (q_dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "table_cells": (q_table_cells, TABLE_CELLS_SQL),
     "table_export": (q_table_export, TABLE_EXPORT_SQL),
     "pad_plan": (q_pad_plan, PAD_PLAN_SQL),

@@ -14,6 +14,7 @@ SUBSET = [
     "classify_counts",
     "containment_pairs",
     "dedup_exact",
+    "dedup_incremental",
     "token_stats",
     "sessionize",
     "grid_rank",
@@ -105,6 +106,41 @@ def test_minhash_bucket_cap_suppresses_hot_signature(spark, tmp_path):
     assert {got.loc[0, "doc_a"], got.loc[0, "doc_b"]} == {"near-a", "near-b"}
     assert got.loc[0, "shared_bands"] == 4
     # without the cap this would have been hot_n*(hot_n-1)/2 extra pairs
+
+
+def test_dedup_incremental_verdicts(spark, tmp_path):
+    """All three verdicts fire and the increment is checked only
+    against the index side: 1008/1010/1016 hash into the new shard
+    (md5 first nibble in 0/1), 1000/1001/1002 into the index."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1000, base),                      # index: exact twin of 1008
+        (1001, "one two three four five six seven eight nine ten"),
+        (1002, "totally unrelated corpus content about spark plans"),
+        (1008, base),                      # new: exact_dup of 1000
+        # same word multiset as 1001 + a repeated word: every minhash
+        # lane min is unchanged (4 shared bands) but md5(text) differs
+        (1010, "one two three four five six seven eight nine ten ten"),
+        (1016, "completely novel text with no counterpart anywhere"),
+    ]
+    d = str(tmp_path / "incr")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = (
+        R.q_dedup_incremental(spark, d)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1008, "verdict"] == "exact_dup"
+    assert got.loc[1008, "match_doc"] == "1000"
+    assert got.loc[1010, "verdict"] == "near_dup"
+    assert got.loc[1010, "match_doc"] == "1001"
+    assert got.loc[1016, "verdict"] == "unique"
+    assert got.loc[1016, "match_doc"] == ""
+    # index docs never appear in the output
+    assert set(got.index) == {1008, 1010, 1016}
 
 
 def test_ngram_df_cap_suppresses_hot_gram(spark, tmp_path):
