@@ -969,34 +969,52 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures, not near-dup signal); a hot NEW bucket needs no cap —
     each new doc carries exactly 4 signatures, so its probe fan-out is
     already bounded by 4 x cap."""
+    # ONE per-doc fingerprint frame feeds every consumer (exact probe,
+    # both signature sides, and the final new-doc list): the subtrees
+    # below its groupBy are identical, so Spark materializes the
+    # shuffle once (ReusedExchange) and the corpus is SCANNED ONCE —
+    # exactly the plan the persisted production index would give.
     docs = _read(spark, sf_dir, "documents")
-    tagged = docs.withColumn("is_new", F.expr(_NEW_SHARD_PRED))
-    fp = tagged.select("doc_id", "is_new", F.md5("text").alias("fp"))
-    idx_fp = fp.filter(~F.col("is_new")).select(
+    exploded = docs.select(
+        "doc_id",
+        F.expr(_NEW_SHARD_PRED).alias("is_new"),
+        F.md5("text").alias("fp"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    hashed = exploded.select(
+        "doc_id",
+        "is_new",
+        "fp",
+        F.expr(
+            "case when word <> '' then"
+            " cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint)"
+            " end"
+        ).alias("wh"),
+    )
+    lanes = [
+        # min skips the null wh of empty words: a doc with no real
+        # words keeps its fp row but gets null lanes (no signatures)
+        F.min(F.expr(f"wh ^ {seed}")).alias(f"m{i}")
+        for i, seed in enumerate(MINHASH_SEEDS)
+    ]
+    d = hashed.groupBy("doc_id", "is_new", "fp").agg(*lanes)
+    # four consumers (exact probe x2 sides, signatures, final list):
+    # without this, Catalyst pushes each consumer's is_new filter below
+    # the aggregate and replans 4 separate corpus scans.  Checkpointing
+    # materializes the fingerprint frame once — the in-sandbox stand-in
+    # for the PERSISTED index table of a production increment run.
+    d = d.localCheckpoint(eager=False)
+    idx_fp = d.filter(~F.col("is_new")).select(
         F.col("fp").alias("i_fp"), F.col("doc_id").alias("i_doc")
     )
     exact = (
-        fp.filter("is_new")
+        d.filter("is_new")
+        .select("doc_id", "fp")
         .join(idx_fp, F.col("fp") == F.col("i_fp"))
         .groupBy("doc_id")
         .agg(F.min("i_doc").alias("exact_match"))
     )
-    words = tagged.select(
-        "doc_id", "is_new", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    hashed = words.select(
-        "doc_id",
-        "is_new",
-        F.expr(
-            "cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint)"
-        ).alias("wh"),
-    )
-    lanes = [
-        F.min(F.expr(f"wh ^ {seed}")).alias(f"m{i}")
-        for i, seed in enumerate(MINHASH_SEEDS)
-    ]
-    wide = hashed.groupBy("doc_id", "is_new").agg(*lanes)
-    sig = wide.select(
+    sig = d.select(
         "doc_id",
         "is_new",
         F.expr(
@@ -1004,7 +1022,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 2, concat(m4, ':', m5), 3, concat(m6, ':', m7))"
             " as (band, sig)"
         ),
-    )
+    ).filter(F.col("sig").isNotNull())
     bw = Window.partitionBy("band", "sig")
     idx_sig = (
         sig.filter(~F.col("is_new"))
@@ -1022,7 +1040,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("i_doc").alias("near_match"))
     )
     return (
-        tagged.filter("is_new")
+        d.filter("is_new")
         .select("doc_id")
         .join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")
@@ -1043,39 +1061,38 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_INCREMENTAL_SQL = f"""
-WITH tagged AS (
-  SELECT doc_id, text, {_NEW_SHARD_PRED_DUCK} AS is_new FROM documents
-), fp AS (
-  SELECT doc_id, is_new, md5(text) AS fp FROM tagged
+WITH exploded AS (
+  SELECT doc_id, {_NEW_SHARD_PRED_DUCK} AS is_new, md5(text) AS fp,
+    unnest(string_split(text, ' ')) AS word
+  FROM documents
+), hashed AS (
+  SELECT doc_id, is_new, fp,
+    CASE WHEN word <> ''
+         THEN CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) END AS wh
+  FROM exploded
+), d AS (
+  SELECT doc_id, is_new, fp,
+    {_MINHASH_LANES_SQL}
+  FROM hashed GROUP BY doc_id, is_new, fp
 ), exact AS (
   SELECT n.doc_id, min(i.doc_id) AS exact_match
-  FROM fp n JOIN fp i ON i.fp = n.fp AND NOT i.is_new
+  FROM d n JOIN d i ON i.fp = n.fp AND NOT i.is_new
   WHERE n.is_new GROUP BY n.doc_id
-), words AS (
-  SELECT doc_id, is_new, unnest(string_split(text, ' ')) AS word
-  FROM tagged
-), hashed AS (
-  SELECT doc_id, is_new,
-    CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS wh
-  FROM words WHERE word <> ''
-), wide AS (
-  SELECT doc_id, is_new,
-    {_MINHASH_LANES_SQL}
-  FROM hashed GROUP BY doc_id, is_new
 ), sig AS (
   SELECT doc_id, is_new, 0 AS band,
-    CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR) AS sig FROM wide
+    CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR) AS sig FROM d
   UNION ALL
-  SELECT doc_id, is_new, 1, CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR) FROM wide
+  SELECT doc_id, is_new, 1, CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR) FROM d
   UNION ALL
-  SELECT doc_id, is_new, 2, CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR) FROM wide
+  SELECT doc_id, is_new, 2, CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR) FROM d
   UNION ALL
-  SELECT doc_id, is_new, 3, CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR) FROM wide
+  SELECT doc_id, is_new, 3, CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR) FROM d
 ), idx_sig AS (
-  SELECT doc_id AS i_doc, band, sig FROM sig WHERE NOT is_new
+  SELECT doc_id AS i_doc, band, sig FROM sig
+  WHERE NOT is_new AND sig IS NOT NULL
   QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= {MINHASH_BUCKET_CAP}
 ), new_sig AS (
-  SELECT doc_id, band, sig FROM sig WHERE is_new
+  SELECT doc_id, band, sig FROM sig WHERE is_new AND sig IS NOT NULL
 ), near_pairs AS (
   SELECT n.doc_id, i.i_doc, COUNT(*) AS shared
   FROM new_sig n JOIN idx_sig i ON n.band = i.band AND n.sig = i.sig
@@ -1089,7 +1106,7 @@ SELECT t.doc_id,
        ELSE 'unique' END AS verdict,
   COALESCE(CAST(COALESCE(e.exact_match, nr.near_match) AS VARCHAR), '')
     AS match_doc
-FROM tagged t
+FROM d t
 LEFT JOIN exact e ON e.doc_id = t.doc_id
 LEFT JOIN near nr ON nr.doc_id = t.doc_id
 WHERE t.is_new
