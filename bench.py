@@ -424,6 +424,12 @@ def _write_report(result: dict) -> None:
             "frequency droop; Spark task mixes are less droop-sensitive "
             "than pure busy loops, so the pipeline can exceed this "
             "number).",
+            "",
+            "Full-width (local[32]) legs contend with the in-run host "
+            "monitor, so single-run secondary numbers are noisy; the "
+            "median-of-valid-attempts methodology and its measured "
+            "results live in BENCH/SECONDARY.md "
+            "(scripts/bench_secondary.py reruns just this pair).",
         ]
     lines += ["", "## Headline query timings (sec)", ""]
     for k, v in result["queries"].items():
