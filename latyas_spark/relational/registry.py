@@ -962,18 +962,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     in production a PERSISTED table appended to per increment (here
     both sides derive inline from the one sandbox corpus; the plan
     shape is identical).  There is NO self-join anywhere: the exact
-    check is an equi-join on the content hash, the near check joins
-    new-side band signatures against index-side signatures only, so
-    cost is |increment| x bucket width, linear in the increment.  Hot
+    check equi-joins against an fp-DEDUPLICATED index (one
+    representative per distinct content hash — a hot boilerplate hash
+    cannot pair quadratically), the near check joins new-side band
+    signatures against index-side signatures only, so cost is
+    |increment| x bucket width, linear in the increment.  Hot
     index buckets keep the MINHASH_BUCKET_CAP guard (boilerplate
     signatures, not near-dup signal); a hot NEW bucket needs no cap —
     each new doc carries exactly 4 signatures, so its probe fan-out is
     already bounded by 4 x cap."""
     # ONE per-doc fingerprint frame feeds every consumer (exact probe,
-    # both signature sides, and the final new-doc list): the subtrees
-    # below its groupBy are identical, so Spark materializes the
-    # shuffle once (ReusedExchange) and the corpus is SCANNED ONCE —
-    # exactly the plan the persisted production index would give.
+    # both signature sides, and the final new-doc list); its lazy
+    # checkpoint below makes the corpus SCAN happen once — exactly the
+    # plan the persisted production index would give.
     docs = _read(spark, sf_dir, "documents")
     exploded = docs.select(
         "doc_id",
@@ -1004,15 +1005,23 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes the fingerprint frame once — the in-sandbox stand-in
     # for the PERSISTED index table of a production increment run.
     d = d.localCheckpoint(eager=False)
-    idx_fp = d.filter(~F.col("is_new")).select(
-        F.col("fp").alias("i_fp"), F.col("doc_id").alias("i_doc")
+    # The index keeps ONE representative per distinct content hash
+    # (what a persisted fingerprint index stores) — without this, a hot
+    # fp (empty/boilerplate docs) joins every new copy against every
+    # index copy: the exact-path twin of the LSH bucket hazard.  With
+    # it each new doc matches <= 1 index row, so no aggregate is needed
+    # and min-match semantics are preserved exactly.
+    idx_fp = (
+        d.filter(~F.col("is_new"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("i_doc"))
+        .withColumnRenamed("fp", "i_fp")
     )
     exact = (
         d.filter("is_new")
         .select("doc_id", "fp")
         .join(idx_fp, F.col("fp") == F.col("i_fp"))
-        .groupBy("doc_id")
-        .agg(F.min("i_doc").alias("exact_match"))
+        .select("doc_id", F.col("i_doc").alias("exact_match"))
     )
     sig = d.select(
         "doc_id",
@@ -1074,10 +1083,12 @@ WITH exploded AS (
   SELECT doc_id, is_new, fp,
     {_MINHASH_LANES_SQL}
   FROM hashed GROUP BY doc_id, is_new, fp
+), idx_fp AS (
+  SELECT fp, min(doc_id) AS i_doc FROM d WHERE NOT is_new GROUP BY fp
 ), exact AS (
-  SELECT n.doc_id, min(i.doc_id) AS exact_match
-  FROM d n JOIN d i ON i.fp = n.fp AND NOT i.is_new
-  WHERE n.is_new GROUP BY n.doc_id
+  SELECT n.doc_id, i.i_doc AS exact_match
+  FROM d n JOIN idx_fp i ON i.fp = n.fp
+  WHERE n.is_new
 ), sig AS (
   SELECT doc_id, is_new, 0 AS band,
     CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR) AS sig FROM d

@@ -143,6 +143,57 @@ def test_dedup_incremental_verdicts(spark, tmp_path):
     assert set(got.index) == {1008, 1010, 1016}
 
 
+def test_dedup_incremental_hot_guards(spark, tmp_path):
+    """The two 100 TB guards of the incremental path: (a) a hot content
+    hash in the index (boilerplate copies) matches via the
+    fp-deduplicated index — one representative, no quadratic pairing —
+    and (b) a hot (band, sig) LSH bucket on the index side (> cap rows)
+    is dropped, so a new doc whose only matches are boilerplate comes
+    back 'unique', while a genuine 1-index-doc near pair survives."""
+    import hashlib
+
+    def is_new(d):
+        return hashlib.md5(str(d).encode()).hexdigest()[0] in "01"
+
+    def take(pred, n, start):
+        out, i = [], start
+        while len(out) < n:
+            if pred(i):
+                out.append(i)
+            i += 1
+        return out
+
+    cap = R.MINHASH_BUCKET_CAP
+    idx_ids = take(lambda d: not is_new(d), 2 * (cap + 4) + 1, 5000)
+    new_ids = take(is_new, 3, 5000)
+    exact_boiler = "all rights reserved contact us terms privacy"
+    rows = [(d, exact_boiler) for d in idx_ids[: cap + 4]]
+    # same distinct-word set (same minhash lanes), distinct md5s: a
+    # hot NEAR bucket that is not a hot content hash
+    rows += [
+        (d, "subscribe to our newsletter " + "today " * (i % 7 + 1))
+        for i, d in enumerate(idx_ids[cap + 4 : 2 * (cap + 4)])
+    ]
+    rows += [(idx_ids[-1], "rare convex optimization convergence proof")]
+    rows += [
+        (new_ids[0], exact_boiler),                       # exact_dup
+        (new_ids[1], "subscribe to our newsletter " + "today " * 9),
+        (new_ids[2], "rare convex optimization convergence proof proof"),
+    ]
+    d = str(tmp_path / "hotincr")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = R.q_dedup_incremental(spark, d).toPandas().set_index("doc_id")
+    assert got.loc[new_ids[0], "verdict"] == "exact_dup"
+    assert got.loc[new_ids[0], "match_doc"] == str(min(idx_ids[: cap + 4]))
+    # hot near bucket capped: boilerplate-only similarity -> unique
+    assert got.loc[new_ids[1], "verdict"] == "unique"
+    # genuine near pair (single index doc, uncapped bucket) survives
+    assert got.loc[new_ids[2], "verdict"] == "near_dup"
+    assert got.loc[new_ids[2], "match_doc"] == str(idx_ids[-1])
+
+
 def test_ngram_df_cap_suppresses_hot_gram(spark, tmp_path):
     """100 TB guard, the ngram twin of the minhash bucket cap: a
     boilerplate 3-gram shared by more than 64 docs must never reach a
