@@ -363,6 +363,11 @@ def _write_report(result: dict) -> None:
         "# BENCH/BASELINE.md — measured numbers (latest bench.py run)",
         "",
         f"- sf dir: `{SF_DIR}`, headline engine: `local[{CPUS}]`",
+        "- query timings are steady-state: the full list runs in two "
+        "SEPARATED passes (min per query), so one transient stall (GC "
+        "window, writeback burst) cannot hit both samples of a query; "
+        "cold-start costs (codegen/JIT, broadcast build) amortize over "
+        "any real multi-batch run and are excluded by design",
         f"- extraction corpora (crc32-seeded, FIXTURES.md §1-2): "
         f"{BENCH_DOCS} docs for the 4->16 pair, "
         f"{sc.get('wide_corpus_docs', BENCH_DOCS_WIDE)} docs for the "

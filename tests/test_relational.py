@@ -194,6 +194,98 @@ def test_dedup_incremental_hot_guards(spark, tmp_path):
     assert got.loc[new_ids[2], "match_doc"] == str(idx_ids[-1])
 
 
+def _dedup_incremental_local(rows):
+    """Independent pure-Python reimplementation of the incremental
+    dedup semantics (third implementation besides Spark and the DuckDB
+    oracle), for randomized-corpus equality."""
+    import hashlib
+
+    def is_new(d):
+        return hashlib.md5(str(d).encode()).hexdigest()[0] in "01"
+
+    def fp(t):
+        return hashlib.md5(t.encode()).hexdigest()
+
+    def lanes(t):
+        whs = [
+            int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            for w in t.split(" ")
+            if w != ""
+        ]
+        if not whs:
+            return None
+        return [min(w ^ s for w in whs) for s in R.MINHASH_SEEDS]
+
+    def sigs(t):
+        m = lanes(t)
+        if m is None:
+            return []
+        return [(b, f"{m[2*b]}:{m[2*b+1]}") for b in range(4)]
+
+    idx = [(d, t) for d, t in rows if not is_new(d)]
+    new = [(d, t) for d, t in rows if is_new(d)]
+    idx_fp = {}
+    for d, t in idx:
+        k = fp(t)
+        idx_fp[k] = min(idx_fp.get(k, d), d)
+    from collections import defaultdict
+
+    bucket = defaultdict(list)
+    for d, t in idx:
+        for key in sigs(t):
+            bucket[key].append(d)
+    bucket = {
+        k: v for k, v in bucket.items() if len(v) <= R.MINHASH_BUCKET_CAP
+    }
+    out = {}
+    for d, t in new:
+        exact = idx_fp.get(fp(t))
+        shared = defaultdict(int)
+        for key in sigs(t):
+            for i_doc in bucket.get(key, []):
+                shared[i_doc] += 1
+        near = min((i for i, c in shared.items() if c >= 2), default=None)
+        if exact is not None:
+            out[d] = ("exact_dup", str(exact))
+        elif near is not None:
+            out[d] = ("near_dup", str(near))
+        else:
+            out[d] = ("unique", "")
+    return out
+
+
+def test_dedup_incremental_random_corpora(spark, tmp_path):
+    """Spark vs the local reimplementation on 3 seeded random corpora
+    (mutated/duplicated/shuffled word soups) — input diversity beyond
+    the fixed testdata."""
+    import random
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        rows = []
+        for d in range(3000, 3000 + 60):
+            base = rng.sample(words, rng.randint(1, 8))
+            if rng.random() < 0.4 and rows:
+                # duplicate or near-duplicate an earlier doc
+                src = rng.choice(rows)[1]
+                t = src if rng.random() < 0.5 else src + " " + src.split(" ")[0]
+            else:
+                t = " ".join(base)
+            rows.append((d, t))
+        p = str(tmp_path / f"rc{seed}")
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            f"{p}/documents.parquet"
+        )
+        got = {
+            r["doc_id"]: (r["verdict"], r["match_doc"])
+            for r in R.q_dedup_incremental(spark, p).toPandas().to_dict("records")
+        }
+        want = _dedup_incremental_local(rows)
+        assert got == want, f"seed {seed}: {got} != {want}"
+
+
 def test_ngram_df_cap_suppresses_hot_gram(spark, tmp_path):
     """100 TB guard, the ngram twin of the minhash bucket cap: a
     boilerplate 3-gram shared by more than 64 docs must never reach a
