@@ -18,6 +18,7 @@ SQL (pipeline/adapter.py: synth_blocks <-> SYNTH_BLOCKS_SQL).
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 from ..core.boilerplate import DEPTH_MOD, LINK_MOD
@@ -3654,6 +3655,214 @@ FROM pd
 """
 
 
+# -- substring-level exact dedup (Lee et al. 2021) --------------------------
+
+_SUB_K = 8  # duplicate-span window length in words
+# Deterministic fixture salt (same device as pii_scrub's salted PII):
+# docs with doc_id % 7 == 0 get this 12-word boilerplate run spliced in
+# at a doc-dependent offset, so misaligned cross-document duplicate
+# RUNS exist at every scale and the range-merge logic is exercised.
+_SUB_BOIL = (
+    "all rights reserved this page is the copyright of the example corpus"
+).split(" ")
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact duplicate-span detection (the ExactSubstr
+    mode of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better") re-expressed relationally: every word
+    position contributes one K-word window hash (stride 1 — a strided
+    sample would miss duplicates whose runs align differently in the
+    two documents); a window that occurs >= 2 times corpus-wide is a
+    duplicate position, and per document the duplicate positions merge
+    into MAXIMAL spans (two windows union-contiguously iff their starts
+    differ by <= K), reported as exact duplicated-token coverage.
+
+    100 TB shape: the gram stream is |tokens| rows (the same magnitude
+    every dedup op here already shuffles); occurrence counting is a
+    window over the gram-hash partitioning, so marking costs ONE
+    exchange with no agg+join-back re-scan (the paragraph_dedup
+    pattern), and the span merge is a per-doc ordered window (second
+    exchange).  A viral boilerplate window concentrates its copies in
+    one hash partition — WindowExec sorts with spill, wall-clock skew
+    not memory risk.  At real scale the md5-of-slice per position is
+    the byte amplifier (K x the token stream); a Rabin-Karp rolling
+    hash inside a kernel computes the same stream in O(1) amortized
+    bytes per position — the md5 form is kept here because both engines
+    share it bit-exactly."""
+    raw = _read(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if len(raw.inputFiles()) < par:
+        raw = raw.repartition(par * 2, "doc_id")
+    boil = ", ".join(f"'{w}'" for w in _SUB_BOIL)
+    docs = raw.select(
+        "doc_id",
+        F.split(F.trim("text"), " +").alias("w0"),
+        (F.col("doc_id") % 5).cast("int").alias("off"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "case when doc_id % 7 = 0 then"
+            f" concat(slice(w0, 1, off), array({boil}),"
+            " slice(w0, off + 1, size(w0) - off))"
+            " else w0 end"
+        ).alias("w"),
+    )
+    # posexplode_OUTER for the same reason as paragraph_dedup: a plain
+    # generate admits an inferred size()>0 filter that Catalyst sinks
+    # below the repartition Exchange, serializing the scan.
+    grams = docs.select(
+        "doc_id",
+        (F.size("w") - _SUB_K + 1).cast("long").alias("n_pos"),
+        F.posexplode_outer(
+            F.expr(
+                f"case when size(w) >= {_SUB_K} then"
+                f" transform(sequence(0, size(w) - {_SUB_K}),"
+                f" i -> md5(concat_ws(' ', slice(w, i + 1, {_SUB_K}))))"
+                " else array() end"
+            )
+        ).alias("pos", "h"),
+    ).filter(F.col("h").isNotNull())
+    dup = (
+        grams.withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "pos", "n_pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    # gaps-and-islands with interval semantics: window [p, p+K) unions
+    # contiguously with its predecessor iff the start gap is <= K, so a
+    # merged range's coverage is exact (no double count).
+    marked = dup.withColumn(
+        "newr",
+        F.when(
+            F.coalesce(
+                F.col("pos") - F.lag("pos").over(wd), F.lit(_SUB_K + 1)
+            )
+            > _SUB_K,
+            1,
+        ).otherwise(0),
+    ).withColumn("range_id", F.sum("newr").over(wd))
+    ranges = marked.groupBy("doc_id", "range_id").agg(
+        F.min("n_pos").alias("n_pos"),
+        F.count(F.lit(1)).alias("n_dup_pos"),
+        (F.max("pos") - F.min("pos") + _SUB_K).cast("long").alias("cover"),
+    )
+    return ranges.groupBy("doc_id").agg(
+        F.min("n_pos").alias("n_pos"),
+        F.sum("n_dup_pos").alias("n_dup_pos"),
+        F.count(F.lit(1)).alias("n_ranges"),
+        F.sum("cover").alias("dup_tokens"),
+    )
+
+
+_SUB_BOIL_SQL = "[" + ",".join(f"'{w}'" for w in _SUB_BOIL) + "]"
+
+SUBSTRING_DEDUP_SQL = f"""
+WITH d0 AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS w0,
+         CAST(doc_id % 5 AS INT) AS off
+  FROM documents
+), d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN w0[1:off] || {_SUB_BOIL_SQL} || w0[off+1:]
+         ELSE w0 END AS w
+  FROM d0
+), g AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+    md5(array_to_string(w[CAST(i+1 AS INT):CAST(i+{_SUB_K} AS INT)], ' '))
+      AS h,
+    CAST(len(w) - {_SUB_K} + 1 AS BIGINT) AS n_pos
+  FROM d,
+    unnest(range(CAST(greatest(len(w) - {_SUB_K} + 1, 0) AS BIGINT))) t(i)
+), dup AS (
+  SELECT doc_id, pos, n_pos
+  FROM g
+  QUALIFY COUNT(*) OVER (PARTITION BY h) >= 2
+), r AS (
+  SELECT doc_id, pos, n_pos,
+    CASE WHEN COALESCE(pos - LAG(pos)
+           OVER (PARTITION BY doc_id ORDER BY pos), {_SUB_K + 1})
+         > {_SUB_K} THEN 1 ELSE 0 END AS newr
+  FROM dup
+), rid AS (
+  SELECT doc_id, pos, n_pos,
+    SUM(newr) OVER (PARTITION BY doc_id ORDER BY pos) AS range_id
+  FROM r
+), ranges AS (
+  SELECT doc_id, range_id, MIN(n_pos) AS n_pos,
+    CAST(COUNT(*) AS BIGINT) AS n_dup_pos,
+    CAST(MAX(pos) - MIN(pos) + {_SUB_K} AS BIGINT) AS cover
+  FROM rid GROUP BY doc_id, range_id
+)
+SELECT doc_id, MIN(n_pos) AS n_pos,
+  CAST(SUM(n_dup_pos) AS BIGINT) AS n_dup_pos,
+  CAST(COUNT(*) AS BIGINT) AS n_ranges,
+  CAST(SUM(cover) AS BIGINT) AS dup_tokens
+FROM ranges GROUP BY doc_id
+"""
+
+
+# -- hashed linear quality classifier ---------------------------------------
+
+# Deterministic 256-bucket weight table in [-1000, 1000]: the stand-in
+# for trained fasttext/logistic weights (the artifact a DCLM or
+# fineweb-edu style filter broadcasts to every worker).
+_QC_WEIGHTS = [
+    int(hashlib.md5(f"qw{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+    for b in range(256)
+]
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering with the hashing trick: each word
+    maps to one of 256 weight buckets via md5 (Weinberger et al. 2009
+    feature hashing — the fasttext-style linear classifier used for
+    corpus filtering in DCLM / fineweb-edu, with deterministic weights
+    standing in for the trained artifact); the document logit is the
+    integer weight sum and the gate is ``w_sum >= 0``.
+
+    100 TB shape: the weight table is a 256-int literal baked into the
+    plan (a real model rides the same broadcast path as ocr_route's
+    rules), scoring is transform+aggregate higher-order functions —
+    JVM-side, per-doc, ZERO shuffle: the classifier runs at scan speed
+    like rep_ngrams/pii_scrub, which is exactly why hashed linear
+    models (not GPU models) are the standard first quality gate."""
+    docs = _read(spark, sf_dir, "documents")
+    arr = ", ".join(str(x) for x in _QC_WEIGHTS)
+    wsum = F.expr(
+        "aggregate(split(trim(text), ' +'), cast(0 as bigint),"
+        f" (a, x) -> a + cast(element_at(array({arr}),"
+        " cast(pmod(cast(conv(substring(md5(x), 1, 4), 16, 10) as bigint),"
+        " 256) as int) + 1) as bigint))"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_words"),
+        wsum.alias("w_sum"),
+        F.when(wsum >= 0, "keep").otherwise("drop").alias("label"),
+    )
+
+
+_QC_W_SQL = "[" + ",".join(str(x) for x in _QC_WEIGHTS) + "]"
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH wt AS (SELECT {_QC_W_SQL} AS ws),
+d AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      FROM documents)
+SELECT doc_id, len(w) AS n_words,
+  CAST(list_sum(list_transform(w,
+    x -> ws[(CAST(('0x' || substr(md5(x), 1, 4)) AS INTEGER) % 256) + 1]))
+    AS BIGINT) AS w_sum,
+  CASE WHEN CAST(list_sum(list_transform(w,
+    x -> ws[(CAST(('0x' || substr(md5(x), 1, 4)) AS INTEGER) % 256) + 1]))
+    AS BIGINT) >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM d, wt
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -3712,6 +3921,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "perplexity_bucket": (q_perplexity_bucket, PERPLEXITY_BUCKET_SQL),
     "paragraph_dedup": (q_paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "corpus_curate": (q_corpus_curate, CORPUS_CURATE_SQL),
+    "substring_dedup": (q_substring_dedup, SUBSTRING_DEDUP_SQL),
+    "quality_classifier": (q_quality_classifier, QUALITY_CLASSIFIER_SQL),
 }
 
 

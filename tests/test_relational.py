@@ -45,6 +45,8 @@ SUBSET = [
     "perplexity_bucket",
     "paragraph_dedup",
     "corpus_curate",
+    "substring_dedup",
+    "quality_classifier",
 ]
 
 
@@ -395,12 +397,93 @@ def test_scan_speed_ops_have_zero_shuffle(spark, sf001_dir):
     a corpus-wide network copy."""
     from latyas_spark.relational import registry as R
 
-    for q in (R.q_rep_ngrams, R.q_pii_scrub, R.q_fingerprint, R.q_token_stats):
+    for q in (R.q_rep_ngrams, R.q_pii_scrub, R.q_fingerprint, R.q_token_stats,
+              R.q_quality_classifier):
         plan = (
             q(spark, sf001_dir)
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan, q.__name__
+
+
+def test_substring_dedup_spans_and_merge(spark, tmp_path):
+    """ExactSubstr semantics on a crafted corpus: duplicate RUNS are
+    found at different alignments in each document, near ranges whose
+    windows' coverage intervals touch (start gap <= K) merge into one
+    span with exact token coverage, and separated runs stay two
+    ranges."""
+    K = R._SUB_K
+    assert K == 8
+    a = [f"a{i}" for i in range(1, 31)]     # a1..a30
+    b = [f"b{i}" for i in range(1, 21)]     # b1..b20
+    rows = [
+        (1, " ".join(a)),                                    # a1..a30
+        (2, " ".join([f"f{i}" for i in range(1, 6)]
+                     + a[9:19]
+                     + [f"g{i}" for i in range(1, 6)])),     # run a10..a19
+        (3, " ".join(a[0:10]
+                     + [f"h{i}" for i in range(1, 11)]
+                     + b[0:10])),           # two separated shared runs
+        (4, " ".join(b)),                                    # b1..b20
+    ]
+    d = str(tmp_path / "substr")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = (
+        R.q_substring_dedup(spark, d)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1: run a1..a10 (shared w/ doc 3, window starts 0..2) and run
+    # a10..a19 (shared w/ doc 2, starts 9..11); start gap 9-2=7 <= K so
+    # the two MERGE into one span covering words 0..18 (19 tokens).
+    assert got.loc[1, "n_pos"] == 23
+    assert got.loc[1, "n_dup_pos"] == 6
+    assert got.loc[1, "n_ranges"] == 1
+    assert got.loc[1, "dup_tokens"] == 19
+    # doc 2: one 10-word shared run at offset 5 (starts 5..7)
+    assert got.loc[2, "n_pos"] == 13
+    assert (got.loc[2, "n_dup_pos"], got.loc[2, "n_ranges"]) == (3, 1)
+    assert got.loc[2, "dup_tokens"] == 10
+    # doc 3: two shared runs separated by a 10-word unique gap -> 2
+    # ranges, 10 covered tokens each
+    assert got.loc[3, "n_ranges"] == 2
+    assert got.loc[3, "n_dup_pos"] == 6
+    assert got.loc[3, "dup_tokens"] == 20
+    # doc 4: one shared run at its head
+    assert (got.loc[4, "n_dup_pos"], got.loc[4, "dup_tokens"]) == (3, 10)
+
+
+def test_quality_classifier_matches_local_hashing(spark, tmp_path):
+    """Third implementation: the hashed-linear score recomputed in pure
+    Python must match Spark exactly (bucket indexing, weight table, and
+    integer sum), and both labels must fire."""
+    import hashlib
+
+    def score(text):
+        s = 0
+        for w in text.strip().split(" "):
+            b = int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % 256
+            s += R._QC_WEIGHTS[b]
+        return s
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(1, 12))) for i in range(40)
+    ]
+    d = str(tmp_path / "qc")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = R.q_quality_classifier(spark, d).toPandas().set_index("doc_id")
+    labels = set()
+    for i, text in rows:
+        s = score(text)
+        assert got.loc[i, "w_sum"] == s
+        assert got.loc[i, "label"] == ("keep" if s >= 0 else "drop")
+        labels.add(got.loc[i, "label"])
+    assert labels == {"keep", "drop"}
 
 
 def test_bm25_ranks_by_term_frequency_and_length(spark, tmp_path):
