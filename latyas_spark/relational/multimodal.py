@@ -103,6 +103,65 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return shaped.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = (
+    "media_ref string, frame_idx int, n_frames int, px0 int, bg_mode int"
+)
+
+
+def sample_frames(media: DataFrame, k: int = 4) -> DataFrame:
+    """Video frame sampling: k uniformly-spaced frames per video row
+    (``frame_idx = i * n_frames div k``), each decoded through the
+    pluggable codec and reduced to per-frame features (first pixel +
+    corner-mode background color).
+
+    The container demux is STUBBED like every codec here: frame f of a
+    payload decodes as ``_DECODER(payload + b":" + str(f), w, h)`` — a
+    real ffmpeg-style demuxer drops in via ``register_decoder`` with
+    the same per-frame contract.  ``n_frames`` is an input column (real
+    pipelines read it from container metadata, not by decoding).
+
+    Scale shape: decode is the expensive step, so rows are
+    hash-repartitioned before the kernel (same rationale as
+    extract_media_features); sampling k of T frames bounds work per
+    video regardless of its length — the standard trick that keeps a
+    10-hour outlier video from becoming a straggler task.
+    """
+    from ..core.imageops import bg_color_mode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_ref": [], "frame_idx": [], "n_frames": [],
+                "px0": [], "bg_mode": [],
+            }
+            for ref, w, h, t, payload in zip(
+                pdf["media_ref"], pdf["width"], pdf["height"],
+                pdf["n_frames"], pdf["payload"],
+            ):
+                for i in range(k):
+                    f = (i * int(t)) // k
+                    raster = _DECODER(
+                        bytes(payload) + f":{f}".encode(), int(w), int(h)
+                    )
+                    out["media_ref"].append(ref)
+                    out["frame_idx"].append(f)
+                    out["n_frames"].append(int(t))
+                    out["px0"].append(int(raster[0, 0]))
+                    out["bg_mode"].append(int(bg_color_mode(raster)))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pd.Series(out["media_ref"], dtype=object),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "px0": pd.Series(out["px0"], dtype="int32"),
+                    "bg_mode": pd.Series(out["bg_mode"], dtype="int32"),
+                }
+            )
+
+    shaped = media.repartition(F.pmod(F.xxhash64("media_ref"), F.lit(64)))
+    return shaped.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 RENDER_SCHEMA = (
     "doc_id string, page int, scale int, width int, height int, "
     "payload binary"

@@ -2845,6 +2845,83 @@ SELECT media_ref, CAST(val AS INT) AS bg_mode FROM ranked WHERE rn = 1
 )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (multimodal.sample_frames): k=4 uniform
+    frame indices per video, each frame decoded through the pluggable
+    codec and reduced to first-pixel + corner-mode features.  Videos
+    are the arithmetic slice eid % 3 == 2 of the media table with
+    ``n_frames = 8 + (eid*7) % 56`` standing in for container metadata
+    (synth_media's xxhash typing isn't SQL-portable).  The DuckDB
+    oracle reproduces the fake per-frame decode arithmetically
+    (md5(md5(ref) || ':' || frame) tiling), so demux -> sample ->
+    decode -> feature is value-checked per frame cross-engine."""
+    from .multimodal import sample_frames
+
+    eid = F.substring("media_ref", 9, 32).cast("long")
+    vids = (
+        _media_dims(spark, sf_dir)
+        .filter((eid % 3) == 2)
+        .select(
+            "media_ref", "width", "height",
+            (F.lit(8) + (eid * 7) % 56).cast("int").alias("n_frames"),
+            F.encode(F.md5("media_ref"), "utf-8").alias("payload"),
+        )
+    )
+    return sample_frames(vids, k=4)
+
+
+FRAME_SAMPLE_SQL = (
+    _MEDIA_DIMS_CTE
+    + """
+, vid AS (
+  SELECT media_ref, width, height,
+    CAST(8 + (CAST(substr(media_ref, 9) AS BIGINT) * 7) % 56 AS INT)
+      AS n_frames
+  FROM media
+  WHERE (CAST(substr(media_ref, 9) AS BIGINT) % 3) = 2
+), fr AS (
+  SELECT media_ref, width, height, n_frames,
+    CAST((i * n_frames) // 4 AS INT) AS frame_idx
+  FROM vid, unnest([0, 1, 2, 3]) t(i)
+), digests AS (
+  SELECT media_ref, frame_idx, n_frames,
+    md5(concat(md5(media_ref), ':', CAST(frame_idx AS VARCHAR))) AS hex2,
+    [0, width - 1, (height - 1) * width, height * width - 1] AS corner_idx
+  FROM fr
+), corners AS (
+  SELECT media_ref, frame_idx, n_frames, hex2,
+         unnest([0, 1, 2, 3]) AS pos,
+         unnest([
+           CAST(concat('0x', substr(hex2, 2 * (corner_idx[1] % 16) + 1, 2))
+                AS INT),
+           CAST(concat('0x', substr(hex2, 2 * (corner_idx[2] % 16) + 1, 2))
+                AS INT),
+           CAST(concat('0x', substr(hex2, 2 * (corner_idx[3] % 16) + 1, 2))
+                AS INT),
+           CAST(concat('0x', substr(hex2, 2 * (corner_idx[4] % 16) + 1, 2))
+                AS INT)
+         ]) AS val
+  FROM digests
+), counted AS (
+  SELECT media_ref, frame_idx, n_frames, hex2, val,
+         count(*) AS cnt, min(pos) AS first_pos
+  FROM corners GROUP BY media_ref, frame_idx, n_frames, hex2, val
+), ranked AS (
+  SELECT media_ref, frame_idx, n_frames, hex2, val,
+         row_number() OVER (
+           PARTITION BY media_ref, frame_idx
+           ORDER BY cnt DESC, first_pos ASC
+         ) AS rn
+  FROM counted
+)
+SELECT media_ref, frame_idx, n_frames,
+  CAST(concat('0x', substr(hex2, 1, 2)) AS INT) AS px0,
+  CAST(val AS INT) AS bg_mode
+FROM ranked WHERE rn = 1
+"""
+)
+
+
 def q_viz_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 visualization sink as a query: per-page SVG overlay (rect +
     kind-i label per block, layout.py:175-200) over the classified
@@ -3923,6 +4000,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corpus_curate": (q_corpus_curate, CORPUS_CURATE_SQL),
     "substring_dedup": (q_substring_dedup, SUBSTRING_DEDUP_SQL),
     "quality_classifier": (q_quality_classifier, QUALITY_CLASSIFIER_SQL),
+    "frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
 }
 
 

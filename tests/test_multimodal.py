@@ -49,3 +49,28 @@ def test_media_plan_is_arrow_batched(spark, sf001_dir):
     )
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sample_frames_kernel(spark):
+    """Frame sampler: k uniform indices over n_frames, per-frame decode
+    through the pluggable codec, px0 equal to a hand-computed md5 tile
+    byte."""
+    import hashlib
+
+    from latyas_spark.relational.multimodal import sample_frames
+
+    payload = b"deadbeef"
+    rows = [("media://42", 8, 4, 10, payload)]
+    media = spark.createDataFrame(
+        rows,
+        "media_ref string, width int, height int, n_frames int,"
+        " payload binary",
+    )
+    got = sample_frames(media, k=4).toPandas().sort_values("frame_idx")
+    assert list(got["frame_idx"]) == [0, 2, 5, 7]  # i*10//4
+    assert (got["n_frames"] == 10).all()
+    for _, r in got.iterrows():
+        digest = hashlib.md5(
+            payload + f":{int(r['frame_idx'])}".encode()
+        ).digest()
+        assert r["px0"] == digest[0]

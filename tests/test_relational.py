@@ -47,6 +47,7 @@ SUBSET = [
     "corpus_curate",
     "substring_dedup",
     "quality_classifier",
+    "frame_sample",
 ]
 
 
