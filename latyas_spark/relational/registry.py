@@ -3258,6 +3258,58 @@ _KM_K = 8
 _KM_Q = 1_000_000
 
 
+def _km_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings quantized to exact int64 (floor(x*1e6))."""
+    return _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {_KM_Q}) as bigint))"
+        ).alias("iv"),
+    )
+
+
+def _km_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Map-side broadcast-join cluster assignment (corpus never
+    shuffles); argmin ties break on cluster id."""
+    dist_expr = F.expr(
+        "aggregate(zip_with(iv, civ, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (s, x) -> s + x)"
+    )
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "iv", F.struct(dist_expr.alias("d"), "cid").alias("dc")
+    )
+    return scored.groupBy("vec_id", "iv").agg(
+        F.min("dc").getField("cid").alias("cid")
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Centroid update as ONE combinable (cluster, dim) aggregate."""
+    comps = (
+        assigned.select("cid", F.posexplode("iv").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.floor(F.sum("val") / F.count(F.lit(1))).alias("comp"))
+    )
+    return comps.groupBy("cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, comp))),"
+            " s -> s.comp)"
+        ).alias("civ")
+    )
+
+
+def _km_final_assign(e: DataFrame) -> DataFrame:
+    """2 unrolled Lloyd rounds from the smallest-vec_id init, then the
+    final assignment frame (vec_id, iv, cid)."""
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
+    )
+    for _ in range(2):
+        cents = _km_update(_km_assign(e, cents))
+    return _km_assign(e, cents)
+
+
 def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN with LEARNED coarse centroids: 2 unrolled Lloyd iterations
     of k-means (K=8, init = the vectors with the 8 smallest vec_ids),
@@ -3280,45 +3332,8 @@ def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integer; argmin ties break on cluster id, top-k ties on
     vec_id.  Empty clusters simply drop out of the next round's
     centroid table in both engines."""
-    e = _read(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, x -> cast(floor(cast(x as double)"
-            f" * {_KM_Q}) as bigint))"
-        ).alias("iv"),
-    )
-    cents = e.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
-    )
-    dist_expr = F.expr(
-        "aggregate(zip_with(iv, civ, (x, y) -> (x - y) * (x - y)),"
-        " cast(0 as bigint), (s, x) -> s + x)"
-    )
-
-    def assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-        scored = vecs.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", "iv", F.struct(dist_expr.alias("d"), "cid").alias("dc")
-        )
-        return scored.groupBy("vec_id", "iv").agg(
-            F.min("dc").getField("cid").alias("cid")
-        )
-
-    def update(assigned: DataFrame) -> DataFrame:
-        comps = (
-            assigned.select("cid", F.posexplode("iv").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.floor(F.sum("val") / F.count(F.lit(1))).alias("comp"))
-        )
-        return comps.groupBy("cid").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, comp))),"
-                " s -> s.comp)"
-            ).alias("civ")
-        )
-
-    for _ in range(2):
-        cents = update(assign(e, cents))
-    final = assign(e, cents)
+    e = _km_vectors(spark, sf_dir)
+    final = _km_final_assign(e)
     q = final.filter(F.col("vec_id") == 0).select(
         F.col("iv").alias("qiv"), F.col("cid").alias("qcid")
     )
@@ -3362,7 +3377,7 @@ def _km_update_sql(assigned: str, out: str) -> str:
 )"""
 
 
-ANN_KMEANS_SQL = f"""
+_KM_CTE = f"""
 WITH e AS (
   SELECT vec_id,
     list_transform(embedding,
@@ -3374,7 +3389,11 @@ WITH e AS (
 {_km_update_sql("a1", "c1")},
 {_km_assign_sql("e", "c1", "a2")},
 {_km_update_sql("a2", "c2")},
-{_km_assign_sql("e", "c2", "a3")},
+{_km_assign_sql("e", "c2", "a3")}"""
+
+ANN_KMEANS_SQL = (
+    _KM_CTE
+    + """,
 q AS (SELECT iv AS qiv, cid AS qcid FROM a3 WHERE vec_id = 0)
 SELECT a3.vec_id,
   CAST(list_sum(list_transform(list_zip(a3.iv, q.qiv),
@@ -3383,6 +3402,77 @@ FROM a3, q
 WHERE a3.cid = q.qcid AND a3.vec_id <> 0
 ORDER BY idist ASC, vec_id ASC LIMIT 10
 """
+)
+
+
+_SD_T = 1_250_000_000_000  # within-cluster squared-L2 dup threshold
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication via learned clusters (SemDeDup, Abbas et
+    al. 2023): k-means the embedding space, then call a vector a
+    semantic duplicate iff some SMALLER-id vector in its cluster sits
+    within a distance threshold, keeping the min-id vector of each
+    near group as the representative (the deterministic stand-in for
+    SemDeDup's keep-farthest-from-centroid rule).  The paper thresholds
+    cosine on unit vectors; squared L2 is its monotone equivalent there
+    (cos = 1 - d^2/2) and stays integer-exact on the quantized vectors.
+
+    100 TB shape: clustering is the whole point — the pairwise compare
+    runs WITHIN clusters only, and K is chosen so the expected cluster
+    size stays bounded (the paper uses K ~ N/1000; here K=8 on a tiny
+    table), so cost is N x avg-cluster-size, never N^2.  Assignment is
+    the map-side broadcast Lloyd chain shared with ann_kmeans (corpus
+    never shuffles to train); the within-cluster self-join is the only
+    shuffle, keyed by cluster id."""
+    e = _km_vectors(spark, sf_dir)
+    final = _km_final_assign(e)
+    a = final.select(
+        F.col("vec_id").alias("va"), F.col("iv").alias("iva"), "cid"
+    )
+    b = final.select(
+        F.col("vec_id").alias("vb"), F.col("iv").alias("ivb"), "cid"
+    )
+    d = F.expr(
+        "aggregate(zip_with(iva, ivb, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (s, x) -> s + x)"
+    )
+    matches = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(d <= _SD_T)
+        .groupBy("vb")
+        .agg(F.min("va").alias("rep"))
+    )
+    return (
+        final.join(matches, final["vec_id"] == matches["vb"], "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("rep").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("rep").cast("string"), F.lit("")).alias(
+                "rep_id"
+            ),
+        )
+    )
+
+
+SEMDEDUP_SQL = (
+    _KM_CTE
+    + f""",
+p AS (
+  SELECT b.vec_id AS vb, min(a.vec_id) AS rep
+  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(list_zip(a.iv, b.iv),
+          q -> (q[1] - q[2]) * (q[1] - q[2]))) AS BIGINT) <= {_SD_T}
+  GROUP BY b.vec_id
+)
+SELECT a3.vec_id, a3.cid,
+  p.rep IS NOT NULL AS is_dup,
+  COALESCE(CAST(p.rep AS VARCHAR), '') AS rep_id
+FROM a3 LEFT JOIN p ON a3.vec_id = p.vb
+"""
+)
 
 
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4001,6 +4091,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "substring_dedup": (q_substring_dedup, SUBSTRING_DEDUP_SQL),
     "quality_classifier": (q_quality_classifier, QUALITY_CLASSIFIER_SQL),
     "frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
+    "semdedup": (q_semdedup, SEMDEDUP_SQL),
 }
 
 

@@ -48,6 +48,7 @@ SUBSET = [
     "substring_dedup",
     "quality_classifier",
     "frame_sample",
+    "semdedup",
 ]
 
 
@@ -485,6 +486,29 @@ def test_quality_classifier_matches_local_hashing(spark, tmp_path):
         assert got.loc[i, "label"] == ("keep" if s >= 0 else "drop")
         labels.add(got.loc[i, "label"])
     assert labels == {"keep", "drop"}
+
+
+def test_semdedup_flags_near_vector_with_min_id_rep(spark, tmp_path):
+    """SemDeDup semantics on a crafted embedding table: a vector
+    epsilon-close to a smaller-id one in the same cluster is flagged
+    with that id as representative; well-separated vectors are kept."""
+    # ids 0..7 seed the centroids (well-separated grid); the near-twin
+    # pair uses ids 8/9 so both land in the SAME learned cluster.
+    rows = [(i, [float(i)] * 64, 0) for i in range(8)]
+    rows.append((8, [3.45] * 64, 0))
+    rows.append((9, [3.45 + 1e-4] * 64, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "sem")
+    df.write.parquet(f"{d}/embeddings.parquet")
+    got = R.q_semdedup(spark, d).toPandas().set_index("vec_id").sort_index()
+    assert bool(got.loc[9, "is_dup"]) is True
+    assert got.loc[9, "rep_id"] == "8"
+    assert got.loc[9, "cid"] == got.loc[8, "cid"]
+    for i in range(9):
+        assert bool(got.loc[i, "is_dup"]) is False, i
+        assert got.loc[i, "rep_id"] == ""
 
 
 def test_bm25_ranks_by_term_frequency_and_length(spark, tmp_path):
