@@ -4030,6 +4030,275 @@ FROM d, wt
 """
 
 
+# -- text normalization (pre-dedup canonicalization) -----------------------
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-lite text canonicalization — the stage every production
+    pipeline runs BEFORE any content-hash dedup (otherwise a stray
+    control char or doubled space makes two identical documents hash
+    apart).  Steps, in order: strip C0/DEL control chars (keeping
+    ``\\n``/``\\t``), map curly quotes + em-dash to ASCII, collapse
+    space runs, trim.
+
+    The sandbox corpus is already clean ASCII, so each row first
+    derives a deterministic DIRTY variant (control-char prefix, curly
+    quotes, every space doubled, trailing spaces — the classic crawl
+    mojibake) and the query proves the normalizer inverts it exactly:
+    ``roundtrip_ok`` compares the normalized text against the known
+    clean form and must be true for every row.
+
+    100 TB shape: doc-local projection — zero shuffle, scan speed;
+    ``content_fp`` is the canonical hash later dedup stages key on."""
+    docs = _read(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("\x01“"),
+        F.expr("replace(text, ' ', '  ')"),
+        F.lit("”  "),
+    )
+    stripped = F.regexp_replace(
+        dirty, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""
+    )
+    mapped = F.translate(
+        stripped, "“”‘’—", "\"\"''-"
+    )
+    norm = F.trim(F.regexp_replace(mapped, " +", " "))
+    expected = F.concat(F.lit('"'), F.col("text"), F.lit('"'))
+    d = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        dirty.alias("dirty"),
+        norm.alias("norm"),
+        expected.alias("expected"),
+    )
+    return d.select(
+        "doc_id",
+        F.length("dirty").alias("n_chars_dirty"),
+        F.length("norm").alias("n_chars_norm"),
+        (F.col("dirty") != F.col("norm")).alias("changed"),
+        (F.col("norm") == F.col("expected")).alias("roundtrip_ok"),
+        F.md5("norm").alias("content_fp"),
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+    chr(1) || '“' || replace(text, ' ', '  ') || '”  ' AS dirty
+  FROM documents
+), n AS (
+  SELECT doc_id, text, dirty,
+    trim(regexp_replace(
+      translate(
+        regexp_replace(dirty, '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+        '“”‘’—', '""''''-'),
+      ' +', ' ', 'g')) AS norm
+  FROM d
+)
+SELECT doc_id,
+  length(dirty) AS n_chars_dirty,
+  length(norm) AS n_chars_norm,
+  dirty <> norm AS changed,
+  norm = ('"' || text || '"') AS roundtrip_ok,
+  md5(norm) AS content_fp
+FROM n
+"""
+
+
+# -- RAG chunking (sliding window with overlap) -----------------------------
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking for retrieval/embedding
+    pipelines: 64-token windows at stride 48 (16-token overlap), the
+    standard RAG shape — unlike ``pack_chunks`` (disjoint packing for
+    pretraining), each chunk here re-reads the 16-token tail of its
+    predecessor so no retrieval query straddles a chunk boundary.
+
+    100 TB shape: window starts come from ``sequence`` + ``transform``
+    higher-order fns and one generator — entirely doc-local, ZERO
+    shuffle, output rows ≈ 1.33x the disjoint chunk count.  The
+    per-chunk md5 is the key a downstream embedding/dedup stage joins
+    on, so it is computed here once, map-side."""
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.split(F.trim("text"), " +").alias("wd"),
+    )
+    ch = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(wd) - 1, 48),"
+                " s -> struct(s as start_tok,"
+                " slice(wd, s + 1, 64) as cw))"
+            )
+        ).alias("chunk_idx", "c"),
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("c.start_tok").alias("start_tok"),
+        F.size("c.cw").alias("n_toks"),
+        F.md5(F.concat_ws(" ", "c.cw")).alias("chunk_fp"),
+    )
+
+
+CHUNK_OVERLAP_SQL = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split_regex(trim(text), ' +') AS wd
+  FROM documents
+), s AS (
+  SELECT doc_id, wd,
+    unnest(range(0, CAST(len(wd) AS BIGINT), 48)) AS st
+  FROM w
+)
+SELECT doc_id,
+  CAST(st / 48 AS INT) AS chunk_idx,
+  CAST(st AS INT) AS start_tok,
+  len(list_slice(wd, CAST(st AS INT) + 1, CAST(st AS INT) + 64)) AS n_toks,
+  md5(array_to_string(
+    list_slice(wd, CAST(st AS INT) + 1, CAST(st AS INT) + 64), ' '))
+    AS chunk_fp
+FROM s
+"""
+
+
+# -- winnowing fingerprints (MOSS) ------------------------------------------
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via winnowing fingerprints (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm): word-4-gram
+    rolling hashes, then keep only the MINIMUM hash of each 4-gram
+    window.  Winnowing guarantees any shared run of >= w+k-1 = 7 words
+    shares a selected fingerprint, while keeping only ~2/(w+1) = 40%
+    of gram hashes — the posting-list index is ~2.5x smaller than
+    ``ngram_jaccard``'s all-grams index for the same detection
+    guarantee, which at 10^12 docs is the difference in shuffle bytes
+    that pays for the whole stage.
+
+    Same skew-guarded inverted-index shape as ngram_jaccard: per-doc
+    selection is all JVM higher-order fns (zero shuffle), ONE exchange
+    on fingerprint, spill-backed window df count, df <= 64 cap BEFORE
+    any posting list, map-side pair explosion from <= 64-id lists.
+    ``containment`` = shared fps / min(per-doc fp count) — the
+    asymmetric score that catches a doc embedded inside a larger one,
+    which symmetric Jaccard dilutes."""
+    raw = _read(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if len(raw.inputFiles()) < par:
+        raw = raw.repartition(par * 2, "doc_id")
+    docs = raw.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.split(F.trim("text"), " +").alias("w"),
+    )
+    # guard: sequence(0, -1) would DESCEND in Spark, so short texts
+    # short-circuit to an empty array (same guard as ngram_jaccard)
+    gh = docs.select(
+        "doc_id",
+        F.expr(
+            "case when size(w) >= 4 then"
+            " transform(sequence(0, size(w) - 4),"
+            " i -> cast(conv(substring(md5("
+            "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])"
+            "), 1, 15), 16, 10) as bigint))"
+            " else array() end"
+        ).alias("gh"),
+    )
+    sel = gh.select(
+        "doc_id",
+        F.expr(
+            "case when size(gh) >= 4 then"
+            " array_distinct(transform(sequence(0, size(gh) - 4),"
+            " j -> array_min(slice(gh, j + 1, 4))))"
+            " else array() end"
+        ).alias("fps"),
+    )
+    # explode_outer + post-filter for the same InferFiltersFromGenerate
+    # reason documented on ngram_jaccard
+    rows = sel.select(
+        "doc_id",
+        F.size("fps").alias("n"),
+        F.explode_outer("fps").alias("fp"),
+    ).filter(F.col("fp").isNotNull())
+    wdf = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    pairs = (
+        rows.withColumn("df", wdf)
+        .filter(F.col("df") <= 64)
+        .groupBy("fp")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(array_sort(ids), (a, i) ->"
+                    " transform(slice(array_sort(ids), i + 2, size(ids)),"
+                    " b -> struct(a.doc_id as doc_a, a.n as na,"
+                    " b.doc_id as doc_b, b.n as nb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.na", "p.doc_b", "p.nb")
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("shared"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    return (
+        inter.filter(F.col("shared") >= 2)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(
+                F.col("shared") / F.least("na", "nb"), 4
+            ).alias("containment"),
+        )
+    )
+
+
+WINNOW_PAIRS_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split_regex(trim(text), ' +') AS w
+  FROM documents
+), gh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 4 THEN
+      list_transform(range(0, CAST(len(w) - 3 AS BIGINT), 1),
+        i -> CAST(('0x' || substr(md5(
+          w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] || ' '
+          || w[CAST(i AS INT) + 3] || ' ' || w[CAST(i AS INT) + 4]
+        ), 1, 15)) AS BIGINT))
+    ELSE CAST([] AS BIGINT[]) END AS gh
+  FROM d
+), fp0 AS (
+  SELECT doc_id,
+    CASE WHEN len(gh) >= 4 THEN
+      list_distinct(list_transform(range(0, CAST(len(gh) - 3 AS BIGINT), 1),
+        j -> list_min(list_slice(gh, CAST(j AS INT) + 1, CAST(j AS INT) + 4))))
+    ELSE CAST([] AS BIGINT[]) END AS fps
+  FROM gh
+), rows0 AS (
+  SELECT doc_id, len(fps) AS n, unnest(fps) AS fp FROM fp0
+), freq AS (
+  SELECT fp FROM rows0 GROUP BY fp HAVING COUNT(*) <= 64
+), rf AS (
+  SELECT rows0.* FROM rows0 JOIN freq USING (fp)
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared,
+    max(a.n) AS na, max(b.n) AS nb
+  FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared,
+  round(shared * 1.0 / least(na, nb), 4) AS containment
+FROM inter WHERE shared >= 2
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -4092,6 +4361,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quality_classifier": (q_quality_classifier, QUALITY_CLASSIFIER_SQL),
     "frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
     "semdedup": (q_semdedup, SEMDEDUP_SQL),
+    "text_normalize": (q_text_normalize, TEXT_NORMALIZE_SQL),
+    "chunk_overlap": (q_chunk_overlap, CHUNK_OVERLAP_SQL),
+    "winnow_pairs": (q_winnow_pairs, WINNOW_PAIRS_SQL),
 }
 
 

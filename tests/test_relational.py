@@ -49,6 +49,9 @@ SUBSET = [
     "quality_classifier",
     "frame_sample",
     "semdedup",
+    "text_normalize",
+    "chunk_overlap",
+    "winnow_pairs",
 ]
 
 
