@@ -3301,13 +3301,22 @@ def _km_update(assigned: DataFrame) -> DataFrame:
 
 def _km_final_assign(e: DataFrame) -> DataFrame:
     """2 unrolled Lloyd rounds from the smallest-vec_id init, then the
-    final assignment frame (vec_id, iv, cid)."""
+    final assignment frame (vec_id, iv, cid).
+
+    The assignment frame has multiple consumers downstream (2 in
+    ann_kmeans: probe side + query row; 3 in semdedup: both self-join
+    sides + the outer verdict join) — without materialization Catalyst
+    replans the WHOLE 2-round Lloyd chain (each round aggregates the
+    corpus) once per consumer.  The lazy localCheckpoint runs the
+    chain once; it is the in-sandbox stand-in for PERSISTING the
+    assignment table, which is exactly what a production IVF index
+    build does (train once, store (vec_id, cluster), reuse)."""
     cents = e.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
     )
     for _ in range(2):
         cents = _km_update(_km_assign(e, cents))
-    return _km_assign(e, cents)
+    return _km_assign(e, cents).localCheckpoint(eager=False)
 
 
 def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
