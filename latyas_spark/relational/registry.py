@@ -4175,6 +4175,25 @@ FROM s
 
 # -- winnowing fingerprints (MOSS) ------------------------------------------
 
+# guard: sequence(0, -1) would DESCEND in Spark, so short texts
+# short-circuit to an empty array (same guard as ngram_jaccard).
+# Module-level so tests/test_relational.py can pin the winnowing
+# guarantee on the EXACT expressions the query runs.
+WINNOW_GH_EXPR = (
+    "case when size(w) >= 4 then"
+    " transform(sequence(0, size(w) - 4),"
+    " i -> cast(conv(substring(md5("
+    "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])"
+    "), 1, 15), 16, 10) as bigint))"
+    " else array() end"
+)
+WINNOW_FPS_EXPR = (
+    "case when size(gh) >= 4 then"
+    " array_distinct(transform(sequence(0, size(gh) - 4),"
+    " j -> array_min(slice(gh, j + 1, 4))))"
+    " else array() end"
+)
+
 
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via winnowing fingerprints (Schleimer,
@@ -4202,28 +4221,8 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"),
         F.split(F.trim("text"), " +").alias("w"),
     )
-    # guard: sequence(0, -1) would DESCEND in Spark, so short texts
-    # short-circuit to an empty array (same guard as ngram_jaccard)
-    gh = docs.select(
-        "doc_id",
-        F.expr(
-            "case when size(w) >= 4 then"
-            " transform(sequence(0, size(w) - 4),"
-            " i -> cast(conv(substring(md5("
-            "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])"
-            "), 1, 15), 16, 10) as bigint))"
-            " else array() end"
-        ).alias("gh"),
-    )
-    sel = gh.select(
-        "doc_id",
-        F.expr(
-            "case when size(gh) >= 4 then"
-            " array_distinct(transform(sequence(0, size(gh) - 4),"
-            " j -> array_min(slice(gh, j + 1, 4))))"
-            " else array() end"
-        ).alias("fps"),
-    )
+    gh = docs.select("doc_id", F.expr(WINNOW_GH_EXPR).alias("gh"))
+    sel = gh.select("doc_id", F.expr(WINNOW_FPS_EXPR).alias("fps"))
     # explode_outer + post-filter for the same InferFiltersFromGenerate
     # reason documented on ngram_jaccard
     rows = sel.select(

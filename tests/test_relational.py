@@ -77,6 +77,56 @@ def test_query_matches_oracle(name, spark, sf001_dir, sf001_duck):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_winnow_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al. 2003 §3): two texts
+    sharing a contiguous run of >= w+k-1 = 7 words MUST share at least
+    one selected fingerprint — the run contains a complete window of w
+    consecutive grams in both docs, and that window's min hash is
+    selected in both.  Pinned on the EXACT expressions q_winnow_pairs
+    runs, over 200 seeded random splice cases in ONE Spark job."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(0xC0FFEE)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for case in range(200):
+        shared = [rng.choice(vocab) for _ in range(7)]
+        for side in ("a", "b"):
+            n_pre = rng.randint(0, 30)
+            n_post = rng.randint(0, 30)
+            words = (
+                [rng.choice(vocab) for _ in range(n_pre)]
+                + shared
+                + [rng.choice(vocab) for _ in range(n_post)]
+            )
+            rows.append((case, side, " ".join(words)))
+    df = spark.createDataFrame(rows, "case_id int, side string, text string")
+    from latyas_spark.relational.registry import (
+        WINNOW_FPS_EXPR,
+        WINNOW_GH_EXPR,
+    )
+
+    fps = (
+        df.select(
+            "case_id", "side", F.split(F.trim("text"), " +").alias("w")
+        )
+        .select("case_id", "side", F.expr(WINNOW_GH_EXPR).alias("gh"))
+        .select("case_id", "side", F.expr(WINNOW_FPS_EXPR).alias("fps"))
+    )
+    both = (
+        fps.groupBy("case_id")
+        .pivot("side", ["a", "b"])
+        .agg(F.first("fps"))
+        .select(
+            "case_id", F.arrays_overlap("a", "b").alias("shares_fp")
+        )
+    )
+    bad = both.filter(~F.col("shares_fp")).count()
+    assert bad == 0
+
+
 def test_every_query_has_callable_and_alignment():
     qs = R.queries()
     sqls = R.oracle_sql()
