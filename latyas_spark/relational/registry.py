@@ -4039,6 +4039,103 @@ FROM d, wt
 """
 
 
+# -- ANN recall evaluation ---------------------------------------------------
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the learned-centroid ANN (``ann_kmeans``'s index)
+    against exact brute-force top-10, per query — the evaluation every
+    production ANN deployment runs before trusting an index, expressed
+    as a first-class query so index quality is measured IN the engine
+    (tests/test_ann_recall.py pins the same property once; this makes
+    it a repeatable report).  Queries = the 8 smallest vec_ids; both
+    sides use the identical integer-exact L2 and (distance, vec_id)
+    tie-break, so recall is deterministic cross-engine.
+
+    100 TB shape: the query set is a SAMPLE (8 rows here; thousands in
+    production) broadcast to the corpus — the exact side is one
+    Q-x-corpus scan (the price of ground truth, paid once per index
+    build, embarrassingly parallel), the ANN side touches only the
+    probed clusters.  The corpus never self-joins; the per-query top-k
+    is a bounded window over Q groups."""
+    e = _km_vectors(spark, sf_dir)
+    final = _km_final_assign(e)
+    qs = final.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("qid"),
+        F.col("iv").alias("qiv"),
+        F.col("cid").alias("qcid"),
+    )
+    d = F.expr(
+        "aggregate(zip_with(iv, qiv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (s, x) -> s + x)"
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact_top = (
+        final.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    ann_top = (
+        final.join(F.broadcast(qs), final["cid"] == qs["qcid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = exact_top.join(ann_top, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(F.coalesce("hits", F.lit(0)) / 10.0, 4).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
+_ANN_RECALL_DIST = (
+    "CAST(list_sum(list_transform(list_zip(a3.iv, q.qiv),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+)
+
+ANN_RECALL_SQL = (
+    _KM_CTE
+    + f""",
+qs AS (
+  SELECT vec_id AS qid, iv AS qiv, cid AS qcid FROM a3
+  WHERE vec_id < {_KM_K}
+), ex AS (
+  SELECT q.qid, a3.vec_id,
+    row_number() OVER (PARTITION BY q.qid
+      ORDER BY {_ANN_RECALL_DIST} ASC, a3.vec_id ASC) AS rn
+  FROM a3, qs q WHERE a3.vec_id <> q.qid
+), ext AS (SELECT qid, vec_id FROM ex WHERE rn <= 10),
+an AS (
+  SELECT q.qid, a3.vec_id,
+    row_number() OVER (PARTITION BY q.qid
+      ORDER BY {_ANN_RECALL_DIST} ASC, a3.vec_id ASC) AS rn
+  FROM a3 JOIN qs q ON a3.cid = q.qcid WHERE a3.vec_id <> q.qid
+), ant AS (SELECT qid, vec_id FROM an WHERE rn <= 10),
+hits AS (
+  SELECT ext.qid, COUNT(*) AS hits FROM ext JOIN ant USING (qid, vec_id)
+  GROUP BY ext.qid
+)
+SELECT q.qid, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+  round(COALESCE(h.hits, 0) / 10.0, 4) AS recall_at_10
+FROM qs q LEFT JOIN hits h ON h.qid = q.qid
+"""
+)
+
+
 # -- text normalization (pre-dedup canonicalization) -----------------------
 
 
@@ -4372,6 +4469,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_normalize": (q_text_normalize, TEXT_NORMALIZE_SQL),
     "chunk_overlap": (q_chunk_overlap, CHUNK_OVERLAP_SQL),
     "winnow_pairs": (q_winnow_pairs, WINNOW_PAIRS_SQL),
+    "ann_recall": (q_ann_recall, ANN_RECALL_SQL),
 }
 
 

@@ -52,6 +52,7 @@ SUBSET = [
     "text_normalize",
     "chunk_overlap",
     "winnow_pairs",
+    "ann_recall",
 ]
 
 
