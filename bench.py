@@ -435,6 +435,10 @@ def _write_report(result: dict) -> None:
             "median-of-valid-attempts methodology and its measured "
             "results live in BENCH/SECONDARY.md "
             "(scripts/bench_secondary.py reruns just this pair).",
+            "",
+            "Run-to-run history of EVERY full scaling run (this file is "
+            "regenerated per run; the history is append-only): "
+            "BENCH/HISTORY.md.",
         ]
     lines += ["", "## Headline query timings (sec)", ""]
     for k, v in result["queries"].items():
@@ -446,6 +450,34 @@ def _write_report(result: dict) -> None:
     target = "BENCH/QUERIES.md" if SKIP_SCALING else "BENCH/BASELINE.md"
     with open(target, "w") as f:
         f.write("\n".join(lines) + "\n")
+    # Every full scaling run also lands one line in the APPEND-ONLY
+    # history log: BENCH/BASELINE.md is regenerated per run, so without
+    # this the previous runs' medians would be silently discarded —
+    # run-to-run noise is part of the evidence, not something to hide.
+    if not SKIP_SCALING and sc and "efficiency" in sc:
+        ceil = sc.get("cpu_ceiling", {})
+        entry = (
+            f"- {time.strftime('%Y-%m-%d %H:%M:%S')}: "
+            f"N->4N median eff {sc['efficiency']} over "
+            f"{sc.get('n_valid_rounds')} valid rounds "
+            f"(all rounds: "
+            + ", ".join(
+                f"{r['efficiency']}{'' if r.get('valid') else ' contested'}"
+                for r in sc.get("rounds", [])
+            )
+            + f"); 8->32 eff {sc.get('efficiency_8_32')} "
+            f"(ceiling {ceil.get('ceiling_8_32')}); "
+            f"local[32] {sc.get('thr_local32')} docs/sec"
+        )
+        hist = "BENCH/HISTORY.md"
+        fresh = not os.path.exists(hist)
+        with open(hist, "a") as f:
+            if fresh:
+                f.write(
+                    "# BENCH/HISTORY.md — append-only log of every full "
+                    "scaling run (none discarded)\n\n"
+                )
+            f.write(entry + "\n")
 
 
 def main() -> None:
