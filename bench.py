@@ -359,8 +359,9 @@ def _cpu_ceiling() -> dict:
 def _write_report(result: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
     sc = result.get("scaling") or {}
+    name = "BENCH/QUERIES.md" if SKIP_SCALING else "BENCH/BASELINE.md"
     lines = [
-        "# BENCH/BASELINE.md — measured numbers (latest bench.py run)",
+        f"# {name} — measured numbers (latest bench.py run)",
         "",
         f"- sf dir: `{SF_DIR}`, headline engine: `local[{CPUS}]`",
         "- query timings are steady-state: the full list runs in two "

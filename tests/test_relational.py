@@ -454,7 +454,7 @@ def test_scan_speed_ops_have_zero_shuffle(spark, sf001_dir):
     from latyas_spark.relational import registry as R
 
     for q in (R.q_rep_ngrams, R.q_pii_scrub, R.q_fingerprint, R.q_token_stats,
-              R.q_quality_classifier):
+              R.q_quality_classifier, R.q_text_normalize, R.q_chunk_overlap):
         plan = (
             q(spark, sf001_dir)
             ._jdf.queryExecution().executedPlan().toString()
