@@ -4039,6 +4039,80 @@ FROM d, wt
 """
 
 
+# -- dedup + corpus reports ---------------------------------------------------
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT: near-dup cluster-size histogram plus how many
+    docs the drop-list removes at each size — the number a corpus owner
+    actually reads after a dedup run ("how much of my corpus is
+    near-duplicate, and in how big clumps?").
+
+    100 TB shape: runs over the CLUSTER table (3+ orders smaller than
+    the corpus — only docs with at least one near-dup candidate appear),
+    two combinable aggs; nothing touches the documents table."""
+    cc = q_dedup_clusters(spark, sf_dir)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return sizes.groupBy("n_members").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("n_members") - 1).cast("long").alias("docs_dropped"),
+    )
+
+
+DEDUP_STATS_SQL = f"""
+WITH RECURSIVE {_CC_CTES}, sizes AS (
+  SELECT component, COUNT(*) AS n_members FROM cc GROUP BY component
+)
+SELECT n_members, COUNT(*) AS n_clusters,
+  CAST(SUM(n_members - 1) AS BIGINT) AS docs_dropped
+FROM sizes GROUP BY n_members
+"""
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling report: per-language token-length histogram in
+    power-of-two buckets plus token totals — the first query anyone
+    runs on a new crawl to tune quality-gate thresholds (length bands,
+    per-language budgets) before any filtering.
+
+    Integer-exact bucketing: ``length(bin(n)) - 1`` = floor(log2(n))
+    with NO floating log (both engines render the same binary string),
+    so bucket edges can't drift cross-engine.  One combinable agg over
+    a doc-local projection — ONE shuffle of (lang, bucket) partials."""
+    docs = _read(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), " +"))
+    d = docs.select(
+        "lang",
+        n_tok.alias("n_tok"),
+        F.expr(
+            "length(bin(size(split(trim(text), ' +')))) - 1"
+        ).alias("len_bucket"),
+    )
+    return d.groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.min("n_tok").cast("long").alias("min_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+    )
+
+
+CORPUS_PROFILE_SQL = """
+WITH d AS (
+  SELECT lang,
+    len(string_split_regex(trim(text), ' +')) AS n_tok
+  FROM documents
+)
+SELECT lang, length(bin(n_tok)) - 1 AS len_bucket,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+  CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+  CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+FROM d GROUP BY lang, len_bucket
+"""
+
+
 # -- ANN recall evaluation ---------------------------------------------------
 
 
@@ -4470,6 +4544,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "chunk_overlap": (q_chunk_overlap, CHUNK_OVERLAP_SQL),
     "winnow_pairs": (q_winnow_pairs, WINNOW_PAIRS_SQL),
     "ann_recall": (q_ann_recall, ANN_RECALL_SQL),
+    "dedup_stats": (q_dedup_stats, DEDUP_STATS_SQL),
+    "corpus_profile": (q_corpus_profile, CORPUS_PROFILE_SQL),
 }
 
 

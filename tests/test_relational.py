@@ -53,6 +53,8 @@ SUBSET = [
     "chunk_overlap",
     "winnow_pairs",
     "ann_recall",
+    "dedup_stats",
+    "corpus_profile",
 ]
 
 
