@@ -4039,6 +4039,73 @@ FROM d, wt
 """
 
 
+# -- interleaving structure report --------------------------------------------
+
+
+def q_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaving-structure report over the span corpus: per doc, how
+    many text vs media spans, and how finely they alternate — ``n_runs``
+    = number of maximal same-type runs in reading order, and
+    ``interleave_ratio`` = n_runs / n_spans (1.0 = strict alternation,
+    ->0 = fully segregated).  This is the table-shape diagnostic for an
+    interleaved text+media corpus: multimodal training recipes weight
+    documents by exactly this alternation structure.
+
+    100 TB shape: ONE exchange on doc_id — the run-boundary lag window
+    and the per-doc agg share the same hash partitioning, so Catalyst
+    plans a single shuffle; the window sort is per-doc (bounded) and
+    spill-backed."""
+    b = synth_blocks(spark, sf_dir).select(
+        "doc_id",
+        "page",
+        "offset",
+        F.col("media_ref").isNotNull().cast("int").alias("is_media"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("page", "offset")
+    prev = F.lag("is_media").over(w)
+    flip = F.when(
+        prev.isNull() | (prev != F.col("is_media")), 1
+    ).otherwise(0)
+    return (
+        b.withColumn("flip", flip)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("is_media").cast("long").alias("n_media"),
+            (F.count(F.lit(1)) - F.sum("is_media"))
+            .cast("long")
+            .alias("n_text"),
+            F.sum("flip").cast("long").alias("n_runs"),
+            F.round(F.sum("flip") / F.count(F.lit(1)), 4).alias(
+                "interleave_ratio"
+            ),
+        )
+    )
+
+
+INTERLEAVE_STATS_SQL = (
+    _blocks_cte()
+    + """
+SELECT doc_id,
+  CAST(SUM(is_media) AS BIGINT) AS n_media,
+  CAST(COUNT(*) - SUM(is_media) AS BIGINT) AS n_text,
+  CAST(SUM(flip) AS BIGINT) AS n_runs,
+  round(SUM(flip) * 1.0 / COUNT(*), 4) AS interleave_ratio
+FROM (
+  SELECT doc_id, is_media,
+    CASE WHEN lag(is_media) OVER (
+        PARTITION BY doc_id ORDER BY page, "offset")
+      IS DISTINCT FROM is_media THEN 1 ELSE 0 END AS flip
+  FROM (
+    SELECT doc_id, page, "offset",
+      CASE WHEN media_ref IS NOT NULL THEN 1 ELSE 0 END AS is_media
+    FROM blocks
+  )
+)
+GROUP BY doc_id
+"""
+)
+
+
 # -- dedup + corpus reports ---------------------------------------------------
 
 
@@ -4546,6 +4613,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_recall": (q_ann_recall, ANN_RECALL_SQL),
     "dedup_stats": (q_dedup_stats, DEDUP_STATS_SQL),
     "corpus_profile": (q_corpus_profile, CORPUS_PROFILE_SQL),
+    "interleave_stats": (q_interleave_stats, INTERLEAVE_STATS_SQL),
 }
 
 

@@ -55,6 +55,7 @@ SUBSET = [
     "ann_recall",
     "dedup_stats",
     "corpus_profile",
+    "interleave_stats",
 ]
 
 
