@@ -448,8 +448,7 @@ def _write_report(result: dict) -> None:
     # A SKIP_SCALING run has no scaling sections — writing it to
     # BENCH/BASELINE.md would clobber the last full run's scaling
     # evidence, so query-only refreshes land in BENCH/QUERIES.md.
-    target = "BENCH/QUERIES.md" if SKIP_SCALING else "BENCH/BASELINE.md"
-    with open(target, "w") as f:
+    with open(name, "w") as f:
         f.write("\n".join(lines) + "\n")
     # Every full scaling run also lands one line in the APPEND-ONLY
     # history log: BENCH/BASELINE.md is regenerated per run, so without
@@ -457,8 +456,17 @@ def _write_report(result: dict) -> None:
     # run-to-run noise is part of the evidence, not something to hide.
     if not SKIP_SCALING and sc and "efficiency" in sc:
         ceil = sc.get("cpu_ceiling", {})
+        try:
+            import subprocess
+
+            rev = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or "unknown"
+        except Exception:
+            rev = "unknown"
         entry = (
-            f"- {time.strftime('%Y-%m-%d %H:%M:%S')}: "
+            f"- {time.strftime('%Y-%m-%d %H:%M:%S')} (git {rev}): "
             f"N->4N median eff {sc['efficiency']} over "
             f"{sc.get('n_valid_rounds')} valid rounds "
             f"(all rounds: "

@@ -114,6 +114,33 @@ def _blocks_cte() -> str:
     return f"WITH blocks AS (\n{SYNTH_BLOCKS_SQL}\n)"
 
 
+def _pair_explode_expr(
+    key: str, aux: str, ka: str, va: str, kb: str, vb: str
+) -> str:
+    """Map-side explosion of every ordered pair from a bounded (<=cap)
+    struct list ``ids``: array_sort orders by the first struct field,
+    so a.<key> < b.<key> holds for every emitted pair.  Shared by all
+    inverted-index dedup joins (ngram_jaccard, dedup_embedding,
+    winnow_pairs) so a fix to the pair convention lands everywhere."""
+    return (
+        "flatten(transform(array_sort(ids), (a, i) ->"
+        " transform(slice(array_sort(ids), i + 2, size(ids)),"
+        f" b -> struct(a.{key} as {ka}, a.{aux} as {va},"
+        f" b.{key} as {kb}, b.{aux} as {vb}))))"
+    )
+
+
+def _int_l2_expr(a: str, b: str) -> str:
+    """Exact int64 squared-L2 between two quantized vector columns —
+    the single distance definition shared by the k-means chain,
+    ann_kmeans, semdedup and ann_recall (and mirrored by their DuckDB
+    oracles), so the metric cannot drift between operators."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (s, x) -> s + x)"
+    )
+
+
 # -- A: aggregations -------------------------------------------------------
 
 
@@ -1316,10 +1343,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(array_sort(ids), (a, i) ->"
-                    " transform(slice(array_sort(ids), i + 2, size(ids)),"
-                    " b -> struct(a.doc_id as doc_a, a.n as na,"
-                    " b.doc_id as doc_b, b.n as nb))))"
+                    _pair_explode_expr(
+                        "doc_id", "n", "doc_a", "na", "doc_b", "nb"
+                    )
                 )
             ).alias("p")
         )
@@ -1604,10 +1630,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(array_sort(ids), (a, i) ->"
-                    " transform(slice(array_sort(ids), i + 2, size(ids)),"
-                    " b -> struct(a.vec_id as vec_a, a.v as va,"
-                    " b.vec_id as vec_b, b.v as vb))))"
+                    _pair_explode_expr(
+                        "vec_id", "v", "vec_a", "va", "vec_b", "vb"
+                    )
                 )
             ).alias("p")
         )
@@ -3272,10 +3297,7 @@ def _km_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _km_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     """Map-side broadcast-join cluster assignment (corpus never
     shuffles); argmin ties break on cluster id."""
-    dist_expr = F.expr(
-        "aggregate(zip_with(iv, civ, (x, y) -> (x - y) * (x - y)),"
-        " cast(0 as bigint), (s, x) -> s + x)"
-    )
+    dist_expr = F.expr(_int_l2_expr("iv", "civ"))
     scored = vecs.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "iv", F.struct(dist_expr.alias("d"), "cid").alias("dc")
     )
@@ -3299,7 +3321,7 @@ def _km_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _km_final_assign(e: DataFrame) -> DataFrame:
+def _km_final_assign(e: DataFrame, materialize: bool = True) -> DataFrame:
     """2 unrolled Lloyd rounds from the smallest-vec_id init, then the
     final assignment frame (vec_id, iv, cid).
 
@@ -3310,13 +3332,19 @@ def _km_final_assign(e: DataFrame) -> DataFrame:
     corpus) once per consumer.  The lazy localCheckpoint runs the
     chain once; it is the in-sandbox stand-in for PERSISTING the
     assignment table, which is exactly what a production IVF index
-    build does (train once, store (vec_id, cluster), reuse)."""
+    build does (train once, store (vec_id, cluster), reuse).
+
+    ``materialize=False`` returns the raw chain — the checkpoint
+    compiles the chain into an opaque ExistingRDD scan, so plan-shape
+    tests must assert on the un-checkpointed plan (tests/
+    test_ann_recall.py)."""
     cents = e.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
     )
     for _ in range(2):
         cents = _km_update(_km_assign(e, cents))
-    return _km_assign(e, cents).localCheckpoint(eager=False)
+    final = _km_assign(e, cents)
+    return final.localCheckpoint(eager=False) if materialize else final
 
 
 def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3346,10 +3374,7 @@ def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = final.filter(F.col("vec_id") == 0).select(
         F.col("iv").alias("qiv"), F.col("cid").alias("qcid")
     )
-    qdist = F.expr(
-        "aggregate(zip_with(iv, qiv, (x, y) -> (x - y) * (x - y)),"
-        " cast(0 as bigint), (s, x) -> s + x)"
-    )
+    qdist = F.expr(_int_l2_expr("iv", "qiv"))
     return (
         final.join(F.broadcast(q), final["cid"] == q["qcid"])
         .filter(F.col("vec_id") != 0)
@@ -3442,10 +3467,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = final.select(
         F.col("vec_id").alias("vb"), F.col("iv").alias("ivb"), "cid"
     )
-    d = F.expr(
-        "aggregate(zip_with(iva, ivb, (x, y) -> (x - y) * (x - y)),"
-        " cast(0 as bigint), (s, x) -> s + x)"
-    )
+    d = F.expr(_int_l2_expr("iva", "ivb"))
     matches = (
         a.join(b, "cid")
         .filter(F.col("va") < F.col("vb"))
@@ -4206,10 +4228,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("iv").alias("qiv"),
         F.col("cid").alias("qcid"),
     )
-    d = F.expr(
-        "aggregate(zip_with(iv, qiv, (x, y) -> (x - y) * (x - y)),"
-        " cast(0 as bigint), (s, x) -> s + x)"
-    )
+    d = F.expr(_int_l2_expr("iv", "qiv"))
     w = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("vec_id"))
     exact_top = (
         final.crossJoin(F.broadcast(qs))
@@ -4478,10 +4497,9 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(array_sort(ids), (a, i) ->"
-                    " transform(slice(array_sort(ids), i + 2, size(ids)),"
-                    " b -> struct(a.doc_id as doc_a, a.n as na,"
-                    " b.doc_id as doc_b, b.n as nb))))"
+                    _pair_explode_expr(
+                        "doc_id", "n", "doc_a", "na", "doc_b", "nb"
+                    )
                 )
             ).alias("p")
         )

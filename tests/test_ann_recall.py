@@ -119,10 +119,21 @@ def test_kmeans_recall_beats_static_cells(spark, sf001_dir):
 def test_kmeans_plan_broadcasts_centroids(spark, sf001_dir):
     """Assignment must reach the corpus via BROADCAST of the K x D
     centroid table (the corpus itself never shuffles for assignment)
-    and contain no CartesianProduct."""
-    plan = (
+    and contain no CartesianProduct.
+
+    Asserted on the UN-materialized Lloyd chain: the production path
+    wraps it in a lazy localCheckpoint, which compiles the whole chain
+    into an opaque ExistingRDD scan and would blind this assertion."""
+    chain = R._km_final_assign(
+        R._km_vectors(spark, sf001_dir), materialize=False
+    )
+    plan = chain._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    # and the outer ann_kmeans query still broadcasts its query row
+    outer = (
         R.q_ann_kmeans(spark, sf001_dir)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "CartesianProduct" not in plan
-    assert "Broadcast" in plan
+    assert "CartesianProduct" not in outer
+    assert "Broadcast" in outer

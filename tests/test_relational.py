@@ -81,6 +81,18 @@ def test_query_matches_oracle(name, spark, sf001_dir, sf001_duck):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_interleave_stats_single_exchange(spark, sf001_dir):
+    """The lag window and the per-doc agg must share one doc_id hash
+    partitioning: exactly ONE Exchange in the plan (SURVEY T36)."""
+    from latyas_spark.relational import registry as R
+
+    plan = (
+        R.q_interleave_stats(spark, sf001_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
 def test_winnow_guarantee(spark):
     """The winnowing guarantee (Schleimer et al. 2003 §3): two texts
     sharing a contiguous run of >= w+k-1 = 7 words MUST share at least
