@@ -56,6 +56,7 @@ SUBSET = [
     "dedup_stats",
     "corpus_profile",
     "interleave_stats",
+    "minhash_calibration",
 ]
 
 
