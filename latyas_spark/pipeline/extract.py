@@ -297,6 +297,35 @@ def explode_documents(documents: DataFrame) -> DataFrame:
     )
 
 
+def doc_clustering_safe(spark) -> bool:
+    """True iff a join whose children are hash(doc_id)-distributed (via
+    repartition or bucketed scans) keeps its output doc_id-CLUSTERED in
+    this session — the precondition for handing the join output to the
+    doc-grouped kernel without a re-shuffle.
+
+    Two session settings can silently break it: (a) subset cluster
+    keys disallowed — EnsureRequirements re-shuffles on (doc_id,
+    offset), which does NOT cluster by doc alone; (b) AQE skew-join
+    splitting — it breaks a skewed join partition by mapper ranges,
+    scattering one doc's rows across tasks (mega routing handles doc
+    skew instead; build_session disables the splitter).  Callers fall
+    back to an explicit kernel repartition when this returns False."""
+    subset_ok = (
+        spark.conf.get(
+            "spark.sql.requireAllClusterKeysForCoPartition", "true"
+        ).lower()
+        == "false"
+    )
+    skew_split_on = (
+        spark.conf.get("spark.sql.adaptive.enabled", "true").lower() == "true"
+        and spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled", "false"
+        ).lower()
+        == "true"
+    )
+    return subset_ok and not skew_split_on
+
+
 def _kernel_partitions(df: DataFrame) -> int:
     """Explicit shuffle width for the kernel stage.
 
@@ -541,35 +570,10 @@ def extract_spans(
     # doc_id — the kernel then needs only a partition-local sort.  One
     # shuffle of each input instead of three of the joined width.  At
     # warehouse scale the same effect comes from bucketing both tables
-    # by doc_id (storage-partitioned join); this is the unbucketed
-    # equivalent.
-    # The doc_id-subset co-partitioning only holds when the session
-    # allows subset cluster keys; otherwise EnsureRequirements silently
-    # re-shuffles on (doc_id, offset) and the output would NOT be
-    # doc-clustered — fall back to an explicit kernel repartition then.
+    # by doc_id (warehouse.extract_from_warehouse — ZERO input shuffle);
+    # this is the unbucketed equivalent.
     spark = documents.sparkSession
-    subset_ok = (
-        spark.conf.get(
-            "spark.sql.requireAllClusterKeysForCoPartition", "true"
-        ).lower()
-        == "false"
-    )
-    # AQE skew-join splitting breaks a skewed join partition by mapper
-    # ranges, scattering one doc's rows across tasks — fatal for the
-    # doc-grouped kernel, which assumes each doc lives in exactly one
-    # partition.  build_session disables it (mega routing handles doc
-    # skew), but if this plan runs in a foreign session with it on, the
-    # no-exchange fast path is NOT safe: fall back to an explicit
-    # kernel repartition, which re-asserts clustering after the join.
-    skew_split_on = (
-        spark.conf.get("spark.sql.adaptive.enabled", "true").lower() == "true"
-        and spark.conf.get(
-            "spark.sql.adaptive.skewJoin.enabled", "false"
-        ).lower()
-        == "true"
-    )
-    if skew_split_on:
-        subset_ok = False
+    subset_ok = doc_clustering_safe(spark)
     spans = explode_documents(documents)
     P = _kernel_partitions(spans)
     joined = spans.repartition(P, "doc_id").join(

@@ -78,3 +78,88 @@ def colocated_join(
     return spark.table(left_table).join(
         spark.table(right_table), list(on), how
     )
+
+
+def ingest_corpus(
+    spark: SparkSession,
+    corpus_dir: str,
+    n_buckets: int = 128,
+    prefix: str = "wh",
+    base_path: Optional[str] = None,
+) -> tuple:
+    """Pay the doc_id partitioning ONCE at ingest time: write the
+    exploded span table and the layout sidecar bucketed by doc_id into
+    the SAME bucket count.  Every subsequent extraction run
+    (extract_from_warehouse) then joins and feeds the kernel with zero
+    input shuffle.  Returns (spans_table, blocks_table)."""
+    from .extract import explode_documents
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    blocks = spark.read.parquet(f"{corpus_dir}/layout_blocks.parquet")
+    spans_t, blocks_t = f"{prefix}_spans", f"{prefix}_blocks"
+    write_bucketed(
+        explode_documents(docs), spans_t, n_buckets,
+        path=None if base_path is None else f"{base_path}/{spans_t}",
+    )
+    write_bucketed(
+        blocks, blocks_t, n_buckets,
+        path=None if base_path is None else f"{base_path}/{blocks_t}",
+    )
+    return spans_t, blocks_t
+
+
+def extract_from_warehouse(
+    spark: SparkSession,
+    spans_table: str,
+    blocks_table: str,
+    cfg=None,
+    mega_threshold: Optional[int] = None,
+) -> DataFrame:
+    """Flagship extraction fed from the bucketed warehouse: ZERO input
+    exchange.  Both bucketed scans report HashPartitioning(doc_id), so
+    the (doc_id, offset) equi-join co-locates without shuffling, the
+    mega-count aggregation combines in place, and the join output is
+    already doc-clustered for the kernel.  The only exchanges left in
+    the whole job are output-sized (the mega-doc page path + its
+    page-base window).  This is SURVEY §4.3's target plan — the
+    Spark-bucketed-table analog of Iceberg ``bucket(N, doc_id)``; at
+    10^12 docs it removes ~2x-corpus shuffle bytes per run (measured
+    at 960k docs: ~1.26 GB -> ~0.09 GB, BENCH/SCALING_PROFILE.md).
+
+    Falls back to an explicit kernel repartition when the session's
+    settings make subset-key co-partitioning unsafe
+    (extract.doc_clustering_safe)."""
+    from ..core.document import DEFAULT_CONFIG
+    from .extract import (
+        MAX_MEGA_INLIST,
+        MEGA_THRESHOLD,
+        doc_clustering_safe,
+        extract_spans_flat,
+    )
+    from pyspark.sql import functions as F
+
+    if cfg is None:
+        cfg = DEFAULT_CONFIG
+    if mega_threshold is None:
+        mega_threshold = MEGA_THRESHOLD
+    spans = spark.table(spans_table)
+    sidecar = spark.table(blocks_table)
+    mega_ids = None
+    mega_ids_df = None
+    if mega_threshold > 0:
+        counts = sidecar.groupBy("doc_id").count()
+        big = counts.filter(F.col("count") >= mega_threshold).select("doc_id")
+        sample = big.limit(MAX_MEGA_INLIST + 1).collect()
+        if len(sample) > MAX_MEGA_INLIST:
+            mega_ids_df = big
+        else:
+            mega_ids = [r["doc_id"] for r in sample]
+    joined = spans.join(sidecar, ["doc_id", "offset"])
+    return extract_spans_flat(
+        joined,
+        cfg,
+        mega_threshold=mega_threshold,
+        mega_ids=mega_ids,
+        pre_partitioned=doc_clustering_safe(spark),
+        mega_ids_df=mega_ids_df,
+    )

@@ -94,6 +94,57 @@ def test_one_file_per_bucket(spark, bucketed_tables, tmp_path_factory):
     assert len(files) == 8
 
 
+def test_extract_from_warehouse_matches_direct_and_has_zero_exchange(
+    spark, corpus_dir, tmp_path_factory
+):
+    """The warehouse-fed flagship must (a) produce byte-identical spans
+    to the direct parquet-fed extract_spans and (b) plan the normal-doc
+    path with ZERO Exchange anywhere — scan, join, count and kernel all
+    ride the write-time bucketing (SURVEY §4.3 target plan)."""
+    from latyas_spark.pipeline.extract import extract_spans
+    from latyas_spark.pipeline.warehouse import (
+        extract_from_warehouse,
+        ingest_corpus,
+    )
+
+    base = str(tmp_path_factory.mktemp("whx"))
+    spans_t, blocks_t = ingest_corpus(
+        spark, corpus_dir, n_buckets=8, prefix="whx", base_path=base
+    )
+    try:
+        docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+        blocks = spark.read.parquet(f"{corpus_dir}/layout_blocks.parquet")
+        direct = sorted(
+            (r["doc_id"], r["order"], r["kind"], r["text"], r["media_ref"])
+            for r in extract_spans(docs, blocks).collect()
+        )
+        wh = sorted(
+            (r["doc_id"], r["order"], r["kind"], r["text"], r["media_ref"])
+            for r in extract_from_warehouse(spark, spans_t, blocks_t).collect()
+        )
+        assert wh == direct
+
+        # plan audit on the pure doc path (mega routing off): the whole
+        # job — bucketed scans, join, kernel — must contain no Exchange.
+        # Broadcast is disabled for the audit: at test scale AQE would
+        # broadcast the blocks side (also exchange-free on the stream
+        # side, but not the warehouse-scale shape we're pinning).
+        with _conf(spark, spark__sql__autoBroadcastJoinThreshold="-1"):
+            plan = (
+                extract_from_warehouse(
+                    spark, spans_t, blocks_t, mega_threshold=-1
+                )
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        assert "Exchange" not in plan
+        assert "mapInPandas" in plan or "MapInPandas" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS whx_spans")
+        spark.sql("DROP TABLE IF EXISTS whx_blocks")
+
+
 def test_join_values_correct(spark, bucketed_tables):
     left, right = bucketed_tables
     got = (
