@@ -49,7 +49,12 @@ SCALING_DEADLINE_SEC = float(
 BENCH_CONF = {
     "spark.local.dir": os.environ.get(
         "SPARK_LOCAL_DIRS", "/dev/shm/spark-local"
-    )
+    ),
+    # The console progress bar writes \r-terminated fragments to stderr
+    # with no trailing newline; in a merged stdout+stderr capture (how
+    # the driver records the run) a leftover fragment glues itself to
+    # the FRONT of the final summary line and breaks its JSON parse.
+    "spark.ui.showConsoleProgress": "false",
 }
 
 HEADLINE = [
@@ -212,7 +217,7 @@ class _RateMonitor:
 
 def _run_extraction(
     master: str, corpus: str, n_docs: int, n_timed: int = 2,
-    monitor: bool = False,
+    monitor: bool = False, feed: str = "direct",
 ) -> dict:
     """Fresh session at the given parallelism; returns docs/sec.
 
@@ -223,28 +228,50 @@ def _run_extraction(
     (limit(64)) was measured to leave the first full run ~2x slower.
     ``monitor=True`` samples host single-core speed during the timed
     window (see _RateMonitor) and reports min/avg alongside.
+
+    ``feed="direct"`` runs extract_spans over the raw parquet corpus
+    (two repartition(doc_id) input exchanges per run); ``"warehouse"``
+    first ingests into doc_id-bucketed tables (EXCLUDED from timing —
+    the pay-once write-side cost, SURVEY §4.3) and times
+    extract_from_warehouse, which plans with zero input exchange.
     """
     from latyas_spark.pipeline.extract import extract_spans
     from latyas_spark.pipeline.session import build_session
 
     spark = build_session(master=master, app_name=f"bench-{master}", extra_conf=BENCH_CONF)
     try:
-        docs = spark.read.parquet(f"{corpus}/documents.parquet")
-        blocks = spark.read.parquet(f"{corpus}/layout_blocks.parquet")
-        _materialize(extract_spans(docs, blocks))
+        if feed == "warehouse":
+            from latyas_spark.pipeline.warehouse import (
+                extract_from_warehouse,
+                ingest_corpus,
+            )
+
+            width = master[master.index("[") + 1 : master.index("]")]
+            spans_t, blocks_t = ingest_corpus(
+                spark, corpus, n_buckets=128, prefix=f"benchwh{width}",
+                base_path=f"/tmp/latyas_bench_wh_{n_docs}_{width}",
+            )
+            _extract = lambda: extract_from_warehouse(  # noqa: E731
+                spark, spans_t, blocks_t
+            )
+        else:
+            docs = spark.read.parquet(f"{corpus}/documents.parquet")
+            blocks = spark.read.parquet(f"{corpus}/layout_blocks.parquet")
+            _extract = lambda: extract_spans(docs, blocks)  # noqa: E731
+        _materialize(_extract())
         walls = []
         rate = {"min": None, "avg": None}
         if monitor:
             with _RateMonitor() as mon:
                 for _ in range(n_timed):
                     t0 = time.perf_counter()
-                    _materialize(extract_spans(docs, blocks))
+                    _materialize(_extract())
                     walls.append(time.perf_counter() - t0)
             rate = mon.stats()
         else:
             for _ in range(n_timed):
                 t0 = time.perf_counter()
-                _materialize(extract_spans(docs, blocks))
+                _materialize(_extract())
                 walls.append(time.perf_counter() - t0)
         wall = min(walls)
         return {"master": master, "wall_sec": round(wall, 3),
@@ -436,6 +463,25 @@ def _write_report(result: dict) -> None:
             "median-of-valid-attempts methodology and its measured "
             "results live in BENCH/SECONDARY.md "
             "(scripts/bench_secondary.py reruns just this pair).",
+        ]
+        wh = sc.get("warehouse_8_32")
+        if wh:
+            lines += [
+                "",
+                f"**Warehouse-fed 8->32 (the SURVEY §4.3 deployment plan: "
+                f"doc_id-bucketed tables, ZERO input exchange; ingest "
+                f"excluded as the pay-once write cost): "
+                f"(thr_32/thr_8)/4 = {wh['efficiency']}** "
+                f"({'clean window' if wh.get('valid') else 'CONTESTED window'}; "
+                f"local[8] {wh['wall_local8']}s / "
+                f"{wh['thr_local8']} docs/sec, "
+                f"local[32] {wh['wall_local32']}s / "
+                f"{wh['thr_local32']} docs/sec).  The bucketed feed "
+                "removes ~7x of the shuffle-written bytes vs the direct "
+                "feed (task-level event-log decomposition: "
+                "BENCH/SCALING_PROFILE.md).",
+            ]
+        lines += [
             "",
             "Run-to-run history of EVERY full scaling run (this file is "
             "regenerated per run; the history is append-only): "
@@ -475,7 +521,8 @@ def _write_report(result: dict) -> None:
                 for r in sc.get("rounds", [])
             )
             + f"); 8->32 eff {sc.get('efficiency_8_32')} "
-            f"(ceiling {ceil.get('ceiling_8_32')}); "
+            f"(ceiling {ceil.get('ceiling_8_32')}, "
+            f"warehouse-fed {sc.get('efficiency_8_32_wh')}); "
             f"local[32] {sc.get('thr_local32')} docs/sec"
         )
         hist = "BENCH/HISTORY.md"
@@ -602,6 +649,42 @@ def main() -> None:
             (x for x in attempts_8_32 if x["valid"]), attempts_8_32[-1]
         )
         r8, r32 = chosen["r8"], chosen["r32"]
+        # Warehouse-fed 8->32 pair: same corpus, same widths, but the
+        # timed job reads doc_id-bucketed tables (ingest excluded — the
+        # pay-once write-side cost), so the kernel's input Exchange
+        # disappears (~7x less shuffle written; BENCH/SCALING_PROFILE.md).
+        # This is the plan a 100 TB deployment runs (SURVEY §4.3), so its
+        # scaling is reported alongside the direct feed's.  One attempt,
+        # deadline-boxed; validity gated exactly like the direct pair.
+        wh_pair = None
+        if time.perf_counter() - t_scaling <= SCALING_DEADLINE_SEC * 1.2:
+            quiet["warehouse"] = _wait_for_quiet()
+            w8 = _run_extraction(
+                "local[8]", corpus_wide, BENCH_DOCS_WIDE, n_timed=1,
+                monitor=True, feed="warehouse",
+            )
+            w32 = _run_extraction(
+                "local[32]", corpus_wide, BENCH_DOCS_WIDE, n_timed=1,
+                monitor=True, feed="warehouse",
+            )
+            wh_pair = {
+                "thr_local8": w8["docs_per_sec"],
+                "thr_local32": w32["docs_per_sec"],
+                "wall_local8": w8["wall_sec"],
+                "wall_local32": w32["wall_sec"],
+                "inrun_min_local8": w8["inrun_rate"]["min"],
+                "inrun_avg_local8": w8["inrun_rate"]["avg"],
+                "inrun_min_local32": w32["inrun_rate"]["min"],
+                "inrun_avg_local32": w32["inrun_rate"]["avg"],
+                "valid": bool(
+                    quiet["warehouse"] >= QUIET_NOMINAL
+                    and _rate_ok(w8["inrun_rate"], width=8)
+                    and _rate_ok(w32["inrun_rate"], width=32)
+                ),
+                "efficiency": round(
+                    (w32["docs_per_sec"] / w8["docs_per_sec"]) / 4.0, 3
+                ),
+            }
         scaling = {
             "rounds": rounds,
             "median_round": median["round"],
@@ -637,6 +720,8 @@ def main() -> None:
                 for x in attempts_8_32
             ],
             "wide_corpus_docs": BENCH_DOCS_WIDE,
+            "warehouse_8_32": wh_pair,
+            "efficiency_8_32_wh": (wh_pair or {}).get("efficiency"),
             "cpu_ceiling": _cpu_ceiling(),
             "quiet_gate_miters": quiet,
         }
@@ -691,11 +776,15 @@ def main() -> None:
         "scaling_efficiency": sc.get("efficiency"),
         "efficiency_4_16": sc.get("efficiency"),
         "efficiency_8_32": sc.get("efficiency_8_32"),
+        "efficiency_8_32_wh": sc.get("efficiency_8_32_wh"),
         "secondary_valid": sc.get("secondary_valid"),
         "n_valid_rounds": sc.get("n_valid_rounds"),
         "detail": "BENCH/last_run.json",
     }
-    print(json.dumps(summary), flush=True)
+    # Leading newline: terminate any straggling \r-fragment another
+    # writer left on the merged stream so the JSON starts at column 0
+    # of its own line.
+    print("\n" + json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":
