@@ -464,6 +464,23 @@ def _write_report(result: dict) -> None:
             "results live in BENCH/SECONDARY.md "
             "(scripts/bench_secondary.py reruns just this pair).",
         ]
+        whh = sc.get("warehouse_4_16")
+        if whh:
+            lines += [
+                "",
+                f"**Warehouse-fed 4->16 (the deployment-plan feed — the "
+                f"north rule's input is an Iceberg bucket(N, doc_id) "
+                f"table, which this doc_id-bucketed warehouse mirrors; "
+                f"ingest excluded as the pay-once write cost): "
+                f"(thr_16/thr_4)/4 = {whh['efficiency']}** "
+                f"({'clean window' if whh.get('valid') else 'CONTESTED window'}; "
+                f"local[4] {whh['wall_local4']}s / "
+                f"{whh['thr_local4']} docs/sec, "
+                f"local[16] {whh['wall_local16']}s / "
+                f"{whh['thr_local16']} docs/sec).  The direct-parquet "
+                "rounds above additionally pay a corpus-sized input "
+                "shuffle per run that the deployment never pays.",
+            ]
         wh = sc.get("warehouse_8_32")
         if wh:
             lines += [
@@ -520,7 +537,9 @@ def _write_report(result: dict) -> None:
                 f"{r['efficiency']}{'' if r.get('valid') else ' contested'}"
                 for r in sc.get("rounds", [])
             )
-            + f"); 8->32 eff {sc.get('efficiency_8_32')} "
+            + f", warehouse-fed {sc.get('efficiency_4_16_wh')}, "
+            f"ceiling {ceil.get('ceiling_4_16')}); "
+            f"8->32 eff {sc.get('efficiency_8_32')} "
             f"(ceiling {ceil.get('ceiling_8_32')}, "
             f"warehouse-fed {sc.get('efficiency_8_32_wh')}); "
             f"local[32] {sc.get('thr_local32')} docs/sec"
@@ -605,6 +624,41 @@ def main() -> None:
         by_eff = sorted(valid_rounds, key=lambda x: x["efficiency"])
         median = by_eff[len(by_eff) // 2]
         best = by_eff[-1]
+        # Warehouse-fed 4->16 pair (single quiet-gated attempt): the
+        # north rule's input is an Iceberg bucket(N, doc_id) table, so
+        # the bucketed-warehouse feed IS the deployment plan — the
+        # direct-parquet rounds above additionally pay an input shuffle
+        # per run that the deployment never pays, and that shuffle is
+        # what the single-host width droop amplifies.
+        wh_4_16 = None
+        if time.perf_counter() - t_scaling <= SCALING_DEADLINE_SEC:
+            quiet["warehouse_4_16"] = _wait_for_quiet()
+            w4 = _run_extraction(
+                "local[4]", corpus, BENCH_DOCS, n_timed=1,
+                monitor=True, feed="warehouse",
+            )
+            w16 = _run_extraction(
+                "local[16]", corpus, BENCH_DOCS, n_timed=1,
+                monitor=True, feed="warehouse",
+            )
+            wh_4_16 = {
+                "thr_local4": w4["docs_per_sec"],
+                "thr_local16": w16["docs_per_sec"],
+                "wall_local4": w4["wall_sec"],
+                "wall_local16": w16["wall_sec"],
+                "inrun_min_local4": w4["inrun_rate"]["min"],
+                "inrun_avg_local4": w4["inrun_rate"]["avg"],
+                "inrun_min_local16": w16["inrun_rate"]["min"],
+                "inrun_avg_local16": w16["inrun_rate"]["avg"],
+                "valid": bool(
+                    quiet["warehouse_4_16"] >= QUIET_NOMINAL
+                    and _rate_ok(w4["inrun_rate"], width=4)
+                    and _rate_ok(w16["inrun_rate"], width=16)
+                ),
+                "efficiency": round(
+                    (w16["docs_per_sec"] / w4["docs_per_sec"]) / 4.0, 3
+                ),
+            }
         # Secondary pair 8->32 on the wide corpus so BOTH walls stay
         # >= ~45s (amortizing fixed costs; see BENCH_DOCS note above).
         # BOTH legs are monitored: at local[32] the sampler thread is
@@ -720,6 +774,8 @@ def main() -> None:
                 for x in attempts_8_32
             ],
             "wide_corpus_docs": BENCH_DOCS_WIDE,
+            "warehouse_4_16": wh_4_16,
+            "efficiency_4_16_wh": (wh_4_16 or {}).get("efficiency"),
             "warehouse_8_32": wh_pair,
             "efficiency_8_32_wh": (wh_pair or {}).get("efficiency"),
             "cpu_ceiling": _cpu_ceiling(),
@@ -775,6 +831,7 @@ def main() -> None:
         "extraction_docs_per_sec": sc.get("thr_local32"),
         "scaling_efficiency": sc.get("efficiency"),
         "efficiency_4_16": sc.get("efficiency"),
+        "efficiency_4_16_wh": sc.get("efficiency_4_16_wh"),
         "efficiency_8_32": sc.get("efficiency_8_32"),
         "efficiency_8_32_wh": sc.get("efficiency_8_32_wh"),
         "secondary_valid": sc.get("secondary_valid"),
