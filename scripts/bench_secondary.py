@@ -27,6 +27,10 @@ MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SECONDARY_ATTEMPTS", "6"))
 # apart), so one valid attempt is still a noisy ratio — same
 # median-of-valid methodology as bench.py's 4->16 rounds.
 TARGET_VALID = int(os.environ.get("SPARK_GRAFT_SECONDARY_VALID", "3"))
+# "direct" (raw parquet, input shuffle per run) or "warehouse"
+# (doc_id-bucketed tables, zero input exchange — the deployment plan;
+# ingest excluded as the pay-once write cost).
+FEED = os.environ.get("SPARK_GRAFT_SECONDARY_FEED", "direct")
 
 
 def main() -> None:
@@ -36,11 +40,11 @@ def main() -> None:
         gate = bench._wait_for_quiet()
         r8 = bench._run_extraction(
             "local[8]", corpus, bench.BENCH_DOCS_WIDE, n_timed=1,
-            monitor=True,
+            monitor=True, feed=FEED,
         )
         r32 = bench._run_extraction(
             "local[32]", corpus, bench.BENCH_DOCS_WIDE, n_timed=1,
-            monitor=True,
+            monitor=True, feed=FEED,
         )
         valid = (
             gate >= bench.QUIET_NOMINAL
@@ -70,6 +74,7 @@ def main() -> None:
     chosen = by_eff[len(by_eff) // 2]
     result = {
         "metric": "secondary_8_32_efficiency",
+        "feed": FEED,
         "value": chosen["efficiency"],
         "unit": "ratio",
         "valid": chosen["valid"],
