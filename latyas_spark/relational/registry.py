@@ -4805,6 +4805,158 @@ FROM inter WHERE shared >= 2
 """
 
 
+def q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media↔text pairing over the interleaved span corpus: for every
+    media span, the nearest text span in reading order on the same
+    page (tie → the preceding one), i.e. the caption-candidate miner
+    that turns an interleaved text+media corpus into (image, caption)
+    training pairs.  Emits the chosen side and the span-distance ``gap``
+    so a downstream filter can threshold pairing confidence.
+
+    100 TB shape: ONE exchange on (doc_id, page) — both direction
+    windows and the media filter share the same partitioning, sorts are
+    page-bounded, and no self-join materializes (the naive formulation
+    is media×text per page; the two IGNORE-NULLS running windows are
+    linear)."""
+    b = synth_blocks(spark, sf_dir).select(
+        "doc_id", "page", "offset", "text", "media_ref"
+    )
+    order = Window.partitionBy("doc_id", "page").orderBy("offset")
+    w_prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = order.rowsBetween(1, Window.unboundedFollowing)
+    t_off = F.when(F.col("text").isNotNull(), F.col("offset"))
+    t_txt = F.when(F.col("text").isNotNull(), F.col("text"))
+    anno = b.select(
+        "doc_id",
+        "page",
+        "offset",
+        "media_ref",
+        F.last(t_off, ignorenulls=True).over(w_prev).alias("prev_off"),
+        F.last(t_txt, ignorenulls=True).over(w_prev).alias("prev_text"),
+        F.first(t_off, ignorenulls=True).over(w_next).alias("next_off"),
+        F.first(t_txt, ignorenulls=True).over(w_next).alias("next_text"),
+    ).filter(F.col("media_ref").isNotNull())
+    prev_gap = F.col("offset") - F.col("prev_off")
+    next_gap = F.col("next_off") - F.col("offset")
+    use_prev = F.col("prev_off").isNotNull() & (
+        F.col("next_off").isNull() | (prev_gap <= next_gap)
+    )
+    chosen_off = F.when(use_prev, F.col("prev_off")).otherwise(
+        F.col("next_off")
+    )
+    return anno.select(
+        "doc_id",
+        "page",
+        F.col("offset").alias("media_offset"),
+        "media_ref",
+        F.when(use_prev, F.col("prev_text"))
+        .otherwise(F.col("next_text"))
+        .alias("caption_text"),
+        chosen_off.cast("int").alias("caption_offset"),
+        F.when(use_prev, prev_gap)
+        .otherwise(next_gap)
+        .cast("int")
+        .alias("gap"),
+        F.when(use_prev, F.lit("prev")).otherwise(F.lit("next")).alias(
+            "side"
+        ),
+    ).filter(F.col("caption_offset").isNotNull())
+
+
+CAPTION_PAIRS_SQL = (
+    _blocks_cte()
+    + """
+, anno AS (
+  SELECT doc_id, page, "offset", media_ref,
+    last_value(CASE WHEN text IS NOT NULL THEN "offset" END IGNORE NULLS)
+      OVER w_prev AS prev_off,
+    last_value(CASE WHEN text IS NOT NULL THEN text END IGNORE NULLS)
+      OVER w_prev AS prev_text,
+    first_value(CASE WHEN text IS NOT NULL THEN "offset" END IGNORE NULLS)
+      OVER w_next AS next_off,
+    first_value(CASE WHEN text IS NOT NULL THEN text END IGNORE NULLS)
+      OVER w_next AS next_text
+  FROM blocks
+  WINDOW
+    w_prev AS (PARTITION BY doc_id, page ORDER BY "offset"
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    w_next AS (PARTITION BY doc_id, page ORDER BY "offset"
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), media AS (
+  SELECT *,
+    prev_off IS NOT NULL
+      AND (next_off IS NULL
+           OR ("offset" - prev_off) <= (next_off - "offset")) AS use_prev
+  FROM anno WHERE media_ref IS NOT NULL
+)
+SELECT doc_id, page, "offset" AS media_offset, media_ref,
+  CASE WHEN use_prev THEN prev_text ELSE next_text END AS caption_text,
+  CAST(CASE WHEN use_prev THEN prev_off ELSE next_off END AS INT)
+    AS caption_offset,
+  CAST(CASE WHEN use_prev THEN "offset" - prev_off
+       ELSE next_off - "offset" END AS INT) AS gap,
+  CASE WHEN use_prev THEN 'prev' ELSE 'next' END AS side
+FROM media
+WHERE CASE WHEN use_prev THEN prev_off ELSE next_off END IS NOT NULL
+"""
+)
+
+
+N_TRAIN_SHARDS = 16
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: shard =
+    md5('shard:' || doc_id) bucket, within-shard order = the same hash
+    — the seedless, cluster-layout-independent "shuffle the corpus
+    before training" step.  The actual shard writer is
+    ``repartition(shard).sortWithinPartitions(k)``; this query is its
+    audit report (per-shard doc count, token mass, and the
+    hash-first document) so two runs on different clusters can be
+    diffed cheaply.
+
+    100 TB shape: one partial-aggregated groupBy over exactly
+    N_TRAIN_SHARDS keys — the shuffle carries |shards| partial rows
+    per task; the hash gives a near-uniform shard mass by
+    construction (no skew, no salt needed)."""
+    docs = _read(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
+        % N_TRAIN_SHARDS
+    ).cast("int")
+    toks = F.size(F.split(F.trim(F.col("text")), " +"))
+    d = docs.select(
+        shard.alias("shard"),
+        key.alias("k"),
+        toks.alias("n_tokens"),
+        "doc_id",
+    )
+    return d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.min_by("doc_id", "k").cast("long").alias("first_doc_id"),
+    )
+
+
+SHUFFLE_SHARDS_SQL = f"""
+WITH d AS (
+  SELECT
+    CAST(CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      AS BIGINT) % {N_TRAIN_SHARDS} AS INT) AS shard,
+    md5('shard:' || CAST(doc_id AS VARCHAR)) AS k,
+    len(string_split_regex(trim(text), ' +')) AS n_tokens,
+    doc_id
+  FROM documents
+)
+SELECT shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+  CAST(arg_min(doc_id, k) AS BIGINT) AS first_doc_id
+FROM d GROUP BY shard
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -4876,6 +5028,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corpus_profile": (q_corpus_profile, CORPUS_PROFILE_SQL),
     "interleave_stats": (q_interleave_stats, INTERLEAVE_STATS_SQL),
     "minhash_calibration": (q_minhash_calibration, MINHASH_CALIBRATION_SQL),
+    "caption_pairs": (q_caption_pairs, CAPTION_PAIRS_SQL),
+    "shuffle_shards": (q_shuffle_shards, SHUFFLE_SHARDS_SQL),
 }
 
 

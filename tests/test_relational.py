@@ -58,6 +58,8 @@ SUBSET = [
     "corpus_profile",
     "interleave_stats",
     "minhash_calibration",
+    "caption_pairs",
+    "shuffle_shards",
 ]
 
 
@@ -93,6 +95,71 @@ def test_interleave_stats_single_exchange(spark, sf001_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_caption_pairs_nearest_text_semantics(spark, sf001_dir):
+    """Independent pin of the pairing rule: for every media span the
+    chosen caption is the page-nearest text span by |offset gap|, tie
+    going to the PRECEDING span — recomputed here in pure pandas from
+    the same synthetic corpus."""
+    from latyas_spark.pipeline.adapter import synth_blocks
+
+    blocks = (
+        synth_blocks(spark, sf001_dir)
+        .select("doc_id", "page", "offset", "text", "media_ref")
+        .toPandas()
+    )
+    got = (
+        R.q_caption_pairs(spark, sf001_dir)
+        .toPandas()
+        .set_index(["doc_id", "page", "media_offset"])
+        .sort_index()
+    )
+    expected = {}
+    for (doc, page), g in blocks.groupby(["doc_id", "page"]):
+        texts = g[g.text.notna()][["offset", "text"]].values.tolist()
+        for off in g[g.media_ref.notna()].offset:
+            best = None
+            for t_off, t_txt in texts:
+                gap = abs(off - t_off)
+                side = "prev" if t_off < off else "next"
+                key = (gap, 0 if side == "prev" else 1)
+                if best is None or key < best[0]:
+                    best = (key, t_off, t_txt, side)
+            if best is not None:
+                expected[(doc, page, off)] = best[1:]
+    assert len(got) == len(expected)
+    for key, (t_off, t_txt, side) in expected.items():
+        row = got.loc[key]
+        assert row["caption_offset"] == t_off
+        assert row["caption_text"] == t_txt
+        assert row["side"] == side
+        assert row["gap"] == abs(key[2] - t_off)
+
+
+def test_caption_pairs_single_exchange(spark, sf001_dir):
+    """Both direction windows and the media filter share one
+    (doc_id, page) hash partitioning: exactly ONE Exchange — the naive
+    media×text per-page self-join shape must not appear."""
+    plan = (
+        R.q_caption_pairs(spark, sf001_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
+def test_shuffle_shards_partial_agg_only(spark, sf001_dir):
+    """The shard audit is one partial-aggregated groupBy: a single
+    Exchange carrying at most N_TRAIN_SHARDS partial rows per task."""
+    df = R.q_shuffle_shards(spark, sf001_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan.lower()
+    shards = df.toPandas()
+    assert shards.n_docs.sum() == spark.read.parquet(
+        f"{sf001_dir}/documents.parquet"
+    ).count()
+    assert (shards.shard >= 0).all() and (shards.shard < R.N_TRAIN_SHARDS).all()
 
 
 def test_winnow_guarantee(spark):
