@@ -294,6 +294,120 @@ FROM stacked
 """
 
 
+def synth_blocks_threecol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-column page family: exactly TWO provable depth-0 vertical
+    cuts (a MULTI-segment split), then cut-free columns.
+
+    flagship_depth1 pins single-cut selection; this family pins the
+    nseg>2 path — candidate dedup across a gap (the far-side candidate
+    of an already-consumed gap is skipped as near-side-empty,
+    xycut.py:214-221), bisect segment assignment over MULTIPLE cuts,
+    and the reversed push of 3 children (xycut.py:232-233):
+
+      * col = event_id % 3 at x bases 100/400/700 with x1 spread < 50
+        and widths in [100,160): columns occupy [100,310), [400,610),
+        [700,910) — both inter-column gaps are >= 90 >> margin 10, and
+        within a column all pairs x-overlap, so the depth-0 sweep
+        admits exactly one valid cut per gap -> 3 segments in
+        left-to-right order;
+      * per page blocks are y-stacked at pitch 125 with heights <= 99
+        (same argument as synth_blocks_depth1), so each column's
+        depth-1 vertical sweep isolates every block;
+      * reading order is therefore (column, y1), columns left first —
+        SQL-expressible;
+      * no embedeq labels, zero pair intersections -> merge,
+        containment and texmix all no-op, gather returns each row's
+        own text.
+
+    Mirrored in SYNTH_THREECOL_SQL."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    labels_arr = F.array(*[F.lit(s) for s in SIMPLE_LABELS])
+    base = ev.select(
+        F.concat(
+            F.lit("c3doc-"), F.lpad((F.col("user_id") % 200).cast("string"), 5, "0")
+        ).alias("doc_id"),
+        (F.col("event_id") % 3).cast("int").alias("page"),
+        F.col("event_id"),
+        (
+            100 + (F.col("event_id") % 3) * 300 + (F.col("event_id") * 7) % 50
+        ).cast("double").alias("x1"),
+        (100 + (F.col("event_id") * 11) % 60).cast("double").alias("w"),
+        (20 + (F.col("event_id") * 23) % 80).cast("double").alias("h"),
+        (((F.col("event_id") * 7) % 100) / 100.0).alias("conf"),
+        F.element_at(
+            labels_arr, ((F.col("event_id") * 13) % 17 + 1).cast("int")
+        ).alias("label"),
+        F.col("event_type"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "page").orderBy("event_id")
+    stacked = base.select(
+        "doc_id", "page", "event_id", "x1", "w", "h", "conf", "label",
+        "event_type",
+        ((F.row_number().over(w) - 1) * 125).cast("double").alias("y1"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("event_id")
+    return stacked.select(
+        "doc_id",
+        "page",
+        (F.row_number().over(wd) - 1).cast("int").alias("offset"),
+        "x1",
+        "y1",
+        (F.col("x1") + F.col("w")).alias("x2"),
+        (F.col("y1") + F.col("h")).alias("y2"),
+        "conf",
+        "label",
+        F.when(
+            F.col("label").isin(*MEDIA_LABELS), F.lit(None).cast("string")
+        )
+        .otherwise(F.concat("event_type", F.lit(" "), F.col("event_id").cast("string")))
+        .alias("text"),
+        F.when(
+            F.col("label").isin(*MEDIA_LABELS),
+            F.concat(F.lit("media://"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("media_ref"),
+    )
+
+
+SYNTH_THREECOL_SQL = """
+WITH base AS (
+  SELECT
+    'c3doc-' || lpad(CAST(user_id % 200 AS VARCHAR), 5, '0') AS doc_id,
+    CAST(event_id % 3 AS INT) AS page,
+    event_id,
+    CAST(100 + (event_id % 3) * 300 + (event_id * 7) % 50 AS DOUBLE) AS x1,
+    CAST(100 + (event_id * 11) % 60 AS DOUBLE) AS w,
+    CAST(20 + (event_id * 23) % 80 AS DOUBLE) AS h,
+    ((event_id * 7) % 100) / 100.0 AS conf,
+    (['text','Text','title','figure','figure_caption','table','header',
+      'footer','reference','equation','TOC','list','icon',
+      'qrcode','textwithequation','blob','caption'])[
+        CAST((event_id * 13) % 17 + 1 AS INT)] AS label,
+    event_type
+  FROM events
+), stacked AS (
+  SELECT *,
+    CAST((row_number() OVER (PARTITION BY doc_id, page ORDER BY event_id)
+          - 1) * 125 AS DOUBLE) AS y1
+  FROM base
+)
+SELECT
+  doc_id, page,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY event_id) - 1 AS INT)
+    AS "offset",
+  x1, y1, x1 + w AS x2, y1 + h AS y2, conf, label,
+  CASE WHEN label IN ('figure','icon','qrcode') THEN NULL
+       ELSE event_type || ' ' || CAST(event_id AS VARCHAR) END AS text,
+  CASE WHEN label IN ('figure','icon','qrcode')
+       THEN 'media://' || CAST(event_id AS VARCHAR)
+       ELSE NULL END AS media_ref
+FROM stacked
+"""
+
+
 def synth_blocks_dual_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cut-free family + the dual-source (E2) columns: the
     synth_blocks_simple geometry (xy-cut provably degenerates to an

@@ -30,6 +30,7 @@ from ..pipeline.adapter import (
     SYNTH_DEPTH1_SQL,
     SYNTH_MIX_SQL,
     SYNTH_SIMPLE_SQL,
+    SYNTH_THREECOL_SQL,
     synth_blocks,
 )
 
@@ -2703,6 +2704,64 @@ FROM emitted
 """
 
 
+def q_flagship_threecol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL oracle for the xy-cut recursion's MULTI-cut path: the REAL
+    page kernel runs over the three-column family
+    (synth_blocks_threecol) whose depth-0 sweep admits exactly TWO
+    valid cuts — pinning candidate dedup per gap, bisect assignment of
+    blocks over multiple cuts, and the reversed push of 3 children
+    (flagship_depth1 only exercises nseg=2).  Reading order on this
+    family is provably (column, y1), columns left first."""
+    from ..pipeline.adapter import synth_blocks_threecol
+    from ..pipeline.extract import extract_pages
+
+    return extract_pages(synth_blocks_threecol(spark, sf_dir))
+
+
+FLAGSHIP_THREECOL_SQL = f"""
+WITH blocks AS (
+{SYNTH_THREECOL_SQL}
+), k AS (
+  SELECT *, {CLASSIFY_SQL_CASE} AS kind FROM blocks WHERE conf > 0.3
+), layer AS (
+  SELECT doc_id, page, "offset", text, x1, y1, x2, y2,
+         (x2 - x1) * (y2 - y1) AS area
+  FROM blocks WHERE text IS NOT NULL
+), gathered AS (
+  SELECT d.doc_id, d.page, d."offset",
+    string_agg(l.text, '' ORDER BY l."offset") AS gtext
+  FROM k d JOIN layer l ON d.doc_id = l.doc_id AND d.page = l.page
+  WHERE d.kind IN {_TEXT_SET_SQL}
+    AND greatest(least(d.x2, l.x2) - greatest(d.x1, l.x1), 0)
+      * greatest(least(d.y2, l.y2) - greatest(d.y1, l.y1), 0)
+      > 0.5 * least(l.area, (d.x2 - d.x1) * (d.y2 - d.y1))
+    AND least(l.area, (d.x2 - d.x1) * (d.y2 - d.y1)) > 0
+  GROUP BY d.doc_id, d.page, d."offset"
+), emitted AS (
+  SELECT k.doc_id, k.page, k.y1, k.kind,
+    CASE WHEN k.x1 < 350 THEN 0 WHEN k.x1 < 650 THEN 1 ELSE 2 END AS col,
+    CASE
+      WHEN k.kind IN {_MEDIA_SET_SQL} THEN NULL
+      WHEN k.kind = 'equation' THEN e'\\n$$\\n' || k.text || e'\\n$$\\n'
+      WHEN k.kind = 'table' THEN k.text
+      ELSE COALESCE(g.gtext, '')
+    END AS text,
+    CASE WHEN k.kind IN {_MEDIA_SET_SQL} THEN k.media_ref END AS media_ref
+  FROM k LEFT JOIN gathered g
+    ON k.doc_id = g.doc_id AND k.page = g.page AND k."offset" = g."offset"
+  WHERE k.kind IN {_MEDIA_SET_SQL}
+     OR (k.kind = 'equation' AND k.text IS NOT NULL)
+     OR (k.kind = 'table' AND k.text IS NOT NULL)
+     OR k.kind IN {_TEXT_SET_SQL}
+)
+SELECT doc_id, page,
+  CAST(row_number() OVER (PARTITION BY doc_id, page ORDER BY col, y1) - 1
+       AS INT) AS page_pos,
+  kind, text, media_ref
+FROM emitted
+"""
+
+
 def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction DAG over the events-derived corpus: classify ->
     overlap merge -> containment/texmix -> gather -> xy-cut -> emit.
@@ -5000,6 +5059,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship_extract": (q_flagship_extract, None),
     "flagship_simple": (q_flagship_simple, FLAGSHIP_SIMPLE_SQL),
     "flagship_depth1": (q_flagship_depth1, FLAGSHIP_DEPTH1_SQL),
+    "flagship_threecol": (q_flagship_threecol, FLAGSHIP_THREECOL_SQL),
     "dual_extract": (q_dual_extract, None),
     "dual_simple": (q_dual_simple, DUAL_SIMPLE_SQL),
     "cetd_simple": (q_cetd_simple, CETD_SIMPLE_SQL),

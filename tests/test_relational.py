@@ -39,6 +39,7 @@ SUBSET = [
     "cetd_simple",
     "flagship_simple",
     "flagship_depth1",
+    "flagship_threecol",
     "mix_simple",
     "quality_score",
     "bm25_topk",
