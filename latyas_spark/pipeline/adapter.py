@@ -408,6 +408,150 @@ FROM stacked
 """
 
 
+def synth_blocks_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-DECAY family: a depth-3 cut that fires only because the
+    xy-cut margin decays with depth (child_m = m - depth*(m/max_depth),
+    xycut.py; reference xy_cut_reflow.py margin schedule).
+
+    Margins by depth: m0=m1=10, m2=8.75, m3=6.5625.  Per page, two
+    columns (bases 100/400); within a column, super-bands of pitch 300
+    holding a full-strip block F at y=300r (x [base, base+260]) and a
+    pair at y=300r+150: B upper-RIGHT ([base+160, base+260], y [t,
+    t+40]) and C lower-LEFT ([base+100, base+200], y [t+48, t+88]):
+
+      * depth 0 (x, m=10): only the inter-column gap (40 >= 10) cuts —
+        every in-column candidate is either near-side-empty (nothing
+        ends left of C.lo-10) or straddled by an F;
+      * depth 1 (y, m=10): band extents are y-disjoint by >= 51, so
+        cuts isolate each band; INSIDE the pair band the 8px B/C gap
+        is < 10, so the pair stays whole;
+      * depth 2 (x, m=8.75): B and C x-overlap ([base+160, base+200])
+        -> no cut, the pair descends;
+      * depth 3 (y, m=6.5625): the SAME 8px gap now satisfies
+        8 >= 6.5625 -> cut fires -> B (upper) before C (lower);
+      * a constant-margin mutant would never cut the pair and falls to
+        the depth>8 grid sort, whose key is x-major
+        (xycut._grid_sort_list) -> C (left) before B — so the hash
+        OBSERVABLY pins the decay schedule, not just cut selection;
+      * reading order is therefore exactly (column, y1) — B.y1 < C.y1 —
+        and stays (column, y1) under any conf-filter subset (removing
+        F creates no in-column depth-0 cut: the region left of C has
+        no box ends; removing B or C leaves singletons);
+      * zero pair intersections (F y-disjoint from B/C; B,C y-disjoint;
+        columns x-disjoint), no embedeq -> merge/containment/texmix
+        no-op, gather returns each row's own text.
+
+    Mirrored in SYNTH_DECAY_SQL."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    labels_arr = F.array(*[F.lit(s) for s in SIMPLE_LABELS])
+    base = ev.select(
+        F.concat(
+            F.lit("dcdoc-"), F.lpad((F.col("user_id") % 200).cast("string"), 5, "0")
+        ).alias("doc_id"),
+        (F.col("event_id") % 3).cast("int").alias("page"),
+        F.col("event_id"),
+        (100 + (F.col("event_id") % 2) * 300).cast("double").alias("colbase"),
+        (((F.col("event_id") * 7) % 100) / 100.0).alias("conf"),
+        F.element_at(
+            labels_arr, ((F.col("event_id") * 13) % 17 + 1).cast("int")
+        ).alias("label"),
+        F.col("event_type"),
+    )
+    from pyspark.sql import Window
+
+    wcol = Window.partitionBy("doc_id", "page", "colbase").orderBy("event_id")
+    rn = F.row_number().over(wcol) - 1
+    role = rn % 3  # 0 = F full-strip, 1 = B upper-right, 2 = C lower-left
+    band_y = (F.floor(rn / 3) * 300).cast("double")
+    placed = base.select(
+        "doc_id", "page", "event_id", "conf", "label", "event_type",
+        (
+            F.col("colbase")
+            + F.when(role == 1, F.lit(160.0))
+            .when(role == 2, F.lit(100.0))
+            .otherwise(F.lit(0.0))
+        ).alias("x1"),
+        F.when(role == 0, F.lit(260.0)).otherwise(F.lit(100.0)).alias("w"),
+        (
+            band_y
+            + F.when(role == 1, F.lit(150.0))
+            .when(role == 2, F.lit(198.0))
+            .otherwise(F.lit(0.0))
+        ).alias("y1"),
+        F.when(role == 0, (20 + (F.col("event_id") * 23) % 80).cast("double"))
+        .otherwise(F.lit(40.0))
+        .alias("h"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("event_id")
+    return placed.select(
+        "doc_id",
+        "page",
+        (F.row_number().over(wd) - 1).cast("int").alias("offset"),
+        "x1",
+        "y1",
+        (F.col("x1") + F.col("w")).alias("x2"),
+        (F.col("y1") + F.col("h")).alias("y2"),
+        "conf",
+        "label",
+        F.when(
+            F.col("label").isin(*MEDIA_LABELS), F.lit(None).cast("string")
+        )
+        .otherwise(F.concat("event_type", F.lit(" "), F.col("event_id").cast("string")))
+        .alias("text"),
+        F.when(
+            F.col("label").isin(*MEDIA_LABELS),
+            F.concat(F.lit("media://"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("media_ref"),
+    )
+
+
+SYNTH_DECAY_SQL = """
+WITH base AS (
+  SELECT
+    'dcdoc-' || lpad(CAST(user_id % 200 AS VARCHAR), 5, '0') AS doc_id,
+    CAST(event_id % 3 AS INT) AS page,
+    event_id,
+    CAST(100 + (event_id % 2) * 300 AS DOUBLE) AS colbase,
+    ((event_id * 7) % 100) / 100.0 AS conf,
+    (['text','Text','title','figure','figure_caption','table','header',
+      'footer','reference','equation','TOC','list','icon',
+      'qrcode','textwithequation','blob','caption'])[
+        CAST((event_id * 13) % 17 + 1 AS INT)] AS label,
+    event_type
+  FROM events
+), placed AS (
+  SELECT doc_id, page, event_id, conf, label, event_type,
+    colbase + CASE rn % 3 WHEN 1 THEN 160.0 WHEN 2 THEN 100.0
+              ELSE 0.0 END AS x1,
+    CASE rn % 3 WHEN 0 THEN 260.0 ELSE 100.0 END AS w,
+    CAST((rn // 3) * 300 AS DOUBLE)
+      + CASE rn % 3 WHEN 1 THEN 150.0 WHEN 2 THEN 198.0
+        ELSE 0.0 END AS y1,
+    CASE rn % 3 WHEN 0 THEN CAST(20 + (event_id * 23) % 80 AS DOUBLE)
+      ELSE 40.0 END AS h
+  FROM (
+    SELECT *,
+      row_number() OVER (PARTITION BY doc_id, page, colbase
+                         ORDER BY event_id) - 1 AS rn
+    FROM base
+  )
+)
+SELECT
+  doc_id, page,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY event_id) - 1 AS INT)
+    AS "offset",
+  x1, y1, x1 + w AS x2, y1 + h AS y2, conf, label,
+  CASE WHEN label IN ('figure','icon','qrcode') THEN NULL
+       ELSE event_type || ' ' || CAST(event_id AS VARCHAR) END AS text,
+  CASE WHEN label IN ('figure','icon','qrcode')
+       THEN 'media://' || CAST(event_id AS VARCHAR)
+       ELSE NULL END AS media_ref
+FROM placed
+"""
+
+
 def synth_blocks_dual_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cut-free family + the dual-source (E2) columns: the
     synth_blocks_simple geometry (xy-cut provably degenerates to an

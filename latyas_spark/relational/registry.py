@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..pipeline.adapter import (
     SYNTH_BLOCKS_SQL,
+    SYNTH_DECAY_SQL,
     SYNTH_DEPTH1_SQL,
     SYNTH_MIX_SQL,
     SYNTH_SIMPLE_SQL,
@@ -2762,6 +2763,67 @@ FROM emitted
 """
 
 
+def q_flagship_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL oracle for the xy-cut MARGIN-DECAY schedule: the REAL page
+    kernel runs over synth_blocks_decay, whose B/C pairs have an 8px
+    y-gap that no cut reaches until depth 3, where the decayed margin
+    (10 -> 10 -> 8.75 -> 6.5625) first admits it.  A constant-margin
+    mutant never cuts the pair and falls through to the x-major grid
+    fallback, which emits C (left) before B — the opposite of the
+    decay order (B upper first) — so the cross-engine hash pins the
+    decay schedule itself, which flagship_simple/depth1/threecol never
+    exercise.  Reading order on this family is provably (column, y1)
+    under any conf-filter subset."""
+    from ..pipeline.adapter import synth_blocks_decay
+    from ..pipeline.extract import extract_pages
+
+    return extract_pages(synth_blocks_decay(spark, sf_dir))
+
+
+FLAGSHIP_DECAY_SQL = f"""
+WITH blocks AS (
+{SYNTH_DECAY_SQL}
+), k AS (
+  SELECT *, {CLASSIFY_SQL_CASE} AS kind FROM blocks WHERE conf > 0.3
+), layer AS (
+  SELECT doc_id, page, "offset", text, x1, y1, x2, y2,
+         (x2 - x1) * (y2 - y1) AS area
+  FROM blocks WHERE text IS NOT NULL
+), gathered AS (
+  SELECT d.doc_id, d.page, d."offset",
+    string_agg(l.text, '' ORDER BY l."offset") AS gtext
+  FROM k d JOIN layer l ON d.doc_id = l.doc_id AND d.page = l.page
+  WHERE d.kind IN {_TEXT_SET_SQL}
+    AND greatest(least(d.x2, l.x2) - greatest(d.x1, l.x1), 0)
+      * greatest(least(d.y2, l.y2) - greatest(d.y1, l.y1), 0)
+      > 0.5 * least(l.area, (d.x2 - d.x1) * (d.y2 - d.y1))
+    AND least(l.area, (d.x2 - d.x1) * (d.y2 - d.y1)) > 0
+  GROUP BY d.doc_id, d.page, d."offset"
+), emitted AS (
+  SELECT k.doc_id, k.page, k.y1, k.kind,
+    CASE WHEN k.x1 < 350 THEN 0 ELSE 1 END AS col,
+    CASE
+      WHEN k.kind IN {_MEDIA_SET_SQL} THEN NULL
+      WHEN k.kind = 'equation' THEN e'\\n$$\\n' || k.text || e'\\n$$\\n'
+      WHEN k.kind = 'table' THEN k.text
+      ELSE COALESCE(g.gtext, '')
+    END AS text,
+    CASE WHEN k.kind IN {_MEDIA_SET_SQL} THEN k.media_ref END AS media_ref
+  FROM k LEFT JOIN gathered g
+    ON k.doc_id = g.doc_id AND k.page = g.page AND k."offset" = g."offset"
+  WHERE k.kind IN {_MEDIA_SET_SQL}
+     OR (k.kind = 'equation' AND k.text IS NOT NULL)
+     OR (k.kind = 'table' AND k.text IS NOT NULL)
+     OR k.kind IN {_TEXT_SET_SQL}
+)
+SELECT doc_id, page,
+  CAST(row_number() OVER (PARTITION BY doc_id, page ORDER BY col, y1) - 1
+       AS INT) AS page_pos,
+  kind, text, media_ref
+FROM emitted
+"""
+
+
 def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction DAG over the events-derived corpus: classify ->
     overlap merge -> containment/texmix -> gather -> xy-cut -> emit.
@@ -5060,6 +5122,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship_simple": (q_flagship_simple, FLAGSHIP_SIMPLE_SQL),
     "flagship_depth1": (q_flagship_depth1, FLAGSHIP_DEPTH1_SQL),
     "flagship_threecol": (q_flagship_threecol, FLAGSHIP_THREECOL_SQL),
+    "flagship_decay": (q_flagship_decay, FLAGSHIP_DECAY_SQL),
     "dual_extract": (q_dual_extract, None),
     "dual_simple": (q_dual_simple, DUAL_SIMPLE_SQL),
     "cetd_simple": (q_cetd_simple, CETD_SIMPLE_SQL),

@@ -40,6 +40,7 @@ SUBSET = [
     "flagship_simple",
     "flagship_depth1",
     "flagship_threecol",
+    "flagship_decay",
     "mix_simple",
     "quality_score",
     "bm25_topk",

@@ -99,3 +99,22 @@ def test_order_is_permutation():
     y2 = y1 + rng.randint(5, 80, n)
     got = xy_cut_order(x1, y1, x2, y2)
     assert sorted(got.tolist()) == list(range(n))
+
+
+def test_margin_decay_family_discriminates_decay():
+    """The flagship_decay family geometry (adapter.synth_blocks_decay):
+    B upper-right / C lower-left with an 8px y-gap.  The decayed
+    depth-3 margin (6.5625) cuts the pair -> B first; a constant-margin
+    engine would fall to the x-major grid sort -> C first.  Pins that
+    the family's cross-engine hash genuinely observes the decay
+    schedule (margins 10 -> 10 -> 8.75 -> 6.5625)."""
+    # one column: F full-strip band, then the B/C pair band
+    x1 = [100.0, 260.0, 200.0]
+    y1 = [0.0, 150.0, 198.0]
+    x2 = [360.0, 360.0, 300.0]
+    y2 = [60.0, 190.0, 238.0]
+    got = xy_cut_order(x1, y1, x2, y2, margin=10.0).tolist()
+    assert got == [0, 1, 2]  # F, then B (upper) before C: decay cut fired
+    from latyas_spark.core.xycut import _grid_sort_list
+
+    assert _grid_sort_list(x1, y1, x2, y2, [1, 2]) == [2, 1]  # mutant order
