@@ -5078,6 +5078,107 @@ FROM d GROUP BY shard
 """
 
 
+# -- training-mixture construction -------------------------------------------
+
+MIXTURE_BUDGET = 1_000_000  # token budget the weights allocate
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training mixture construction: temperature-scaled sampling
+    weights per (lang, source) over the QUALITY-SURVIVING corpus —
+    the step after curation that decides how much of each source the
+    training run actually draws.  alpha = 0.5 sampling (weight
+    proportional to sqrt(token mass), the standard multilingual
+    up-sampling temperature) with a fixed token budget: ``alloc_tokens``
+    is each source's share of MIXTURE_BUDGET and ``epochs_bp`` (basis
+    points) is alloc/total — >10000 means the source is repeated
+    (up-sampled), small values mean heavy down-sampling.
+
+    Cross-engine exactness: the quality gate reuses q_quality_score's
+    proven expressions; the temperature transform is
+    ``floor(sqrt(bigint))`` (IEEE sqrt of an exactly-representable
+    integer, identical in both engines), so all sums are bigint sums —
+    order-independent — and the only divisions are of exact integers.
+
+    100 TB shape: doc-local projection -> ONE combinable groupBy on
+    (lang, source) (key space = |langs| x |sources|, partial rows per
+    task); the normalizing window then runs over that KEY-SPACE-SIZED
+    frame (97 rows here, thousands in production — never the corpus),
+    so its single-partition Exchange is output-sized by construction."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " +")
+    n_words = F.size(words)
+    n_sym = F.length("text") - F.length(
+        F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")
+    )
+    base = docs.select(
+        "lang",
+        "source",
+        n_words.alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) / n_words, 4
+        ).alias("mwl"),
+        F.round(n_sym / F.length("text"), 4).alias("symr"),
+    ).filter(
+        (F.col("n_words") >= 10)
+        & (F.col("n_words") <= 1000)
+        & (F.col("mwl") >= 2.0)
+        & (F.col("mwl") <= 12.0)
+        & (F.col("symr") <= 0.2)
+    )
+    agg = base.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_tokens"),
+    )
+    w_raw = F.floor(F.sqrt(F.col("total_tokens"))).cast("long")
+    sum_w = F.sum(w_raw).over(Window.partitionBy())
+    alloc = F.floor(w_raw * F.lit(float(MIXTURE_BUDGET)) / sum_w).cast(
+        "long"
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        alloc.alias("alloc_tokens"),
+        (alloc / F.lit(float(MIXTURE_BUDGET))).alias("weight"),
+        F.floor(alloc * F.lit(10000.0) / F.col("total_tokens"))
+        .cast("long")
+        .alias("epochs_bp"),
+    )
+
+
+MIXTURE_WEIGHTS_SQL = f"""
+WITH f AS (
+  SELECT lang, source,
+    len(string_split_regex(trim(text), ' +')) AS n_words,
+    round(length(replace(text, ' ', '')) * 1.0
+      / len(string_split_regex(trim(text), ' +')), 4) AS mwl,
+    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+      * 1.0 / length(text), 4) AS symr
+  FROM documents
+), p AS (
+  SELECT * FROM f
+  WHERE n_words BETWEEN 10 AND 1000 AND mwl BETWEEN 2.0 AND 12.0
+    AND symr <= 0.2
+), g AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+    CAST(floor(sqrt(CAST(SUM(n_words) AS BIGINT))) AS BIGINT) AS w_raw
+  FROM p GROUP BY lang, source
+), a AS (
+  SELECT lang, source, n_docs, total_tokens,
+    CAST(floor(w_raw * {float(MIXTURE_BUDGET)} / SUM(w_raw) OVER ())
+      AS BIGINT) AS alloc_tokens
+  FROM g
+)
+SELECT lang, source, n_docs, total_tokens, alloc_tokens,
+  alloc_tokens / {float(MIXTURE_BUDGET)} AS weight,
+  CAST(floor(alloc_tokens * 10000.0 / total_tokens) AS BIGINT) AS epochs_bp
+FROM a
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -5153,6 +5254,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_calibration": (q_minhash_calibration, MINHASH_CALIBRATION_SQL),
     "caption_pairs": (q_caption_pairs, CAPTION_PAIRS_SQL),
     "shuffle_shards": (q_shuffle_shards, SHUFFLE_SHARDS_SQL),
+    "mixture_weights": (q_mixture_weights, MIXTURE_WEIGHTS_SQL),
 }
 
 

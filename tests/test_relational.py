@@ -62,6 +62,7 @@ SUBSET = [
     "minhash_calibration",
     "caption_pairs",
     "shuffle_shards",
+    "mixture_weights",
 ]
 
 
@@ -162,6 +163,29 @@ def test_shuffle_shards_partial_agg_only(spark, sf001_dir):
         f"{sf001_dir}/documents.parquet"
     ).count()
     assert (shards.shard >= 0).all() and (shards.shard < R.N_TRAIN_SHARDS).all()
+
+
+def test_mixture_weights_invariants(spark, sf001_dir):
+    """The mixture is a probability allocation: weights sum to ~1
+    (floor rounding loses < |groups| ppm), every quality-surviving
+    (lang, source) group gets a row, and the corpus never reaches the
+    normalizing window — the plan's window input is the key-space-
+    sized agg, so exactly TWO Exchanges (partial-agg + the output-
+    sized SinglePartition)."""
+    df = R.q_mixture_weights(spark, sf001_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2
+    assert "SinglePartition" in plan
+    pdf = df.toPandas()
+    assert 1.0 - len(pdf) * 1e-6 <= pdf.weight.sum() <= 1.0
+    assert (pdf.alloc_tokens >= 0).all()
+    assert (pdf.epochs_bp >= 0).all()
+    # alpha=0.5 flattens: the largest source's weight share must be
+    # strictly below its token share, the smallest's strictly above.
+    tok_share = pdf.total_tokens / pdf.total_tokens.sum()
+    big, small = tok_share.idxmax(), tok_share.idxmin()
+    assert pdf.weight[big] < tok_share[big]
+    assert pdf.weight[small] > tok_share[small]
 
 
 def test_winnow_guarantee(spark):
