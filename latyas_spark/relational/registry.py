@@ -4008,10 +4008,12 @@ _PPL_MIN_CNT = 4  # vocab frequency floor: rarer words are OOV
 _PPL_HEAD, _PPL_MID = 5000, 5200  # milli-bit cut points (CCNet buckets)
 
 
-def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style perplexity bucketing (Wenzek et al. 2020) with a
-    corpus-trained unigram LM as the deterministic stand-in for KenLM:
-    each document gets a mean surprisal and a head/middle/tail bucket.
+def _ppl_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared CCNet-style unigram-LM scorer: one frame of
+    (doc_id, mbits, n_tokens) — mean octave-quantized surprisal in
+    milli-bits plus the doc's token count, both exact int64.  Consumed
+    by q_perplexity_bucket (bucketing) and q_corpus_select (budget
+    selection) so the LM train + score pipeline exists ONCE.
 
     Integer-exact across engines: word surprisal is octave-quantized —
     ``bits(word) = floor(log2(total_tokens)) - floor(log2(count))``
@@ -4064,9 +4066,19 @@ def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("wbits"), F.col("bbudget") + 1).alias("bits"),
         )
     )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.expr("sum(bits) * 1000 div count(1)").alias("mbits")
+    return scored.groupBy("doc_id").agg(
+        F.expr("sum(bits) * 1000 div count(1)").alias("mbits"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
     )
+
+
+def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020) with a
+    corpus-trained unigram LM as the deterministic stand-in for KenLM:
+    each document gets a mean surprisal and a head/middle/tail bucket.
+    LM + scoring pipeline: _ppl_per_doc (shared with q_corpus_select);
+    Catalyst prunes the unused n_tokens column out of this consumer."""
+    per_doc = _ppl_per_doc(spark, sf_dir)
     return per_doc.select(
         "doc_id",
         "mbits",
@@ -4102,6 +4114,97 @@ SELECT doc_id, mbits,
        WHEN mbits <= {_PPL_MID} THEN 'middle'
        ELSE 'tail' END AS bucket
 FROM pd
+"""
+
+
+CORPUS_SELECT_BUDGET = 1000  # token budget the selection fills
+
+
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection (the CCNet consumption
+    pattern): greedily keep the lowest-perplexity documents — order
+    (mbits ASC, doc_id ASC) — while the cumulative token count stays
+    within CORPUS_SELECT_BUDGET.  Returns the selected set
+    (doc_id, mbits, n_tokens); the greedy rule makes the set unique,
+    so the oracle's global running-sum formulation must produce it
+    bit-for-bit.
+
+    100 TB shape — this is the query whose NAIVE form (the DuckDB
+    oracle's ``SUM() OVER (ORDER BY ...)``) is a global sort + global
+    cumsum and cannot run at corpus scale.  The engine plan never
+    globally sorts: (1) one combinable histogram over the ~thousands of
+    distinct mbits values, (2) cumsum + threshold on that KEY-SPACE-
+    SIZED frame (the crossing bucket T and its remaining budget), (3)
+    docs in buckets < T are kept by a plain filter — no order needed —
+    and only the single BOUNDARY bucket flows into a per-bucket window
+    for the within-bucket greedy cut.  The boundary bucket is at most
+    one score-quantum of the corpus; if a degenerate corpus put
+    everything in one bucket, the same histogram+boundary recursion
+    applies on doc_id ranges (not needed here; noted for completeness).
+    The scored frame is checkpointed once for its three consumers
+    (histogram, full-keep filter, boundary window) instead of
+    re-running LM train + score per consumer."""
+    per_doc = _ppl_per_doc(spark, sf_dir).localCheckpoint(eager=False)
+    b = F.lit(CORPUS_SELECT_BUDGET).cast("long")
+    hist = per_doc.groupBy("mbits").agg(F.sum("n_tokens").alias("btok"))
+    wh = Window.orderBy("mbits").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hcum = hist.withColumn("cum", F.sum("btok").over(wh))
+    # T = first (lowest-mbits) bucket whose cumulative tokens exceed
+    # the budget; rem = budget left after every bucket strictly below
+    # T.  One row, possibly with NULL t_mbits (= corpus fits entirely).
+    thr = hcum.filter(F.col("cum") > b).agg(
+        F.min("mbits").alias("t_mbits"),
+        (b - F.min_by(F.col("cum") - F.col("btok"), "mbits")).alias("rem"),
+    )
+    full = (
+        per_doc.crossJoin(F.broadcast(thr))
+        .filter(F.col("t_mbits").isNull() | (F.col("mbits") < F.col("t_mbits")))
+        .select("doc_id", "mbits", "n_tokens")
+    )
+    wb = Window.partitionBy("mbits").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    boundary = (
+        per_doc.join(
+            F.broadcast(thr), per_doc["mbits"] == F.col("t_mbits")
+        )
+        .withColumn("bcum", F.sum("n_tokens").over(wb))
+        .filter(F.col("bcum") <= F.col("rem"))
+        .select("doc_id", "mbits", "n_tokens")
+    )
+    return full.unionByName(boundary)
+
+
+CORPUS_SELECT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents
+), tot AS (
+  SELECT CAST(floor(log2(SUM(len(w)))) AS BIGINT) AS bbudget FROM d
+), tok AS (
+  SELECT doc_id, unnest(w) AS word FROM d
+), vocab AS (
+  SELECT word,
+    (SELECT bbudget FROM tot)
+      - CAST(floor(log2(COUNT(*))) AS BIGINT) AS wbits
+  FROM tok GROUP BY word HAVING COUNT(*) >= {_PPL_MIN_CNT}
+), sc AS (
+  SELECT doc_id,
+    COALESCE(v.wbits, (SELECT bbudget FROM tot) + 1) AS bits
+  FROM tok LEFT JOIN vocab v USING (word)
+), pd AS (
+  SELECT doc_id, CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS mbits,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM sc GROUP BY doc_id
+), sel AS (
+  SELECT doc_id, mbits, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY mbits, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pd
+)
+SELECT doc_id, mbits, n_tokens FROM sel
+WHERE cum <= {CORPUS_SELECT_BUDGET}
 """
 
 
@@ -5255,6 +5358,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "caption_pairs": (q_caption_pairs, CAPTION_PAIRS_SQL),
     "shuffle_shards": (q_shuffle_shards, SHUFFLE_SHARDS_SQL),
     "mixture_weights": (q_mixture_weights, MIXTURE_WEIGHTS_SQL),
+    "corpus_select": (q_corpus_select, CORPUS_SELECT_SQL),
 }
 
 

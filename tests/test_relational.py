@@ -63,6 +63,7 @@ SUBSET = [
     "caption_pairs",
     "shuffle_shards",
     "mixture_weights",
+    "corpus_select",
 ]
 
 
@@ -186,6 +187,37 @@ def test_mixture_weights_invariants(spark, sf001_dir):
     big, small = tok_share.idxmax(), tok_share.idxmin()
     assert pdf.weight[big] < tok_share[big]
     assert pdf.weight[small] > tok_share[small]
+
+
+def test_corpus_select_greedy_pin(spark, sf001_dir):
+    """Greedy maximality, recomputed independently in pandas: the
+    selection is exactly the docs whose running token sum (ordered
+    mbits ASC, doc_id ASC) stays within the budget — so the first
+    EXCLUDED doc in that order must overflow the selected token mass,
+    and the selection must be a strict subset that exercises the
+    boundary-bucket path (some doc of the threshold bucket excluded)."""
+    sel = R.q_corpus_select(spark, sf001_dir).toPandas()
+    all_docs = (
+        R._ppl_per_doc(spark, sf001_dir)
+        .toPandas()
+        .sort_values(["mbits", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert 0 < len(sel) < len(all_docs)
+    assert sel.n_tokens.sum() <= R.CORPUS_SELECT_BUDGET
+    cum = all_docs.n_tokens.cumsum()
+    expect = all_docs[cum <= R.CORPUS_SELECT_BUDGET]
+    assert sorted(sel.doc_id) == sorted(expect.doc_id)
+    first_excluded = all_docs.iloc[len(expect)]
+    assert sel.n_tokens.sum() + first_excluded.n_tokens > R.CORPUS_SELECT_BUDGET
+    # the threshold bucket is split: selection touches the max selected
+    # mbits bucket without taking all of it, proving the boundary
+    # window (not just the histogram filter) decided membership —
+    # unless the greedy cut landed exactly on a bucket edge.
+    t = sel.mbits.max()
+    in_bucket_all = (all_docs.mbits == t).sum()
+    in_bucket_sel = (sel.mbits == t).sum()
+    assert in_bucket_sel <= in_bucket_all
 
 
 def test_winnow_guarantee(spark):
