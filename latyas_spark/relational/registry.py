@@ -4208,6 +4208,64 @@ WHERE cum <= {CORPUS_SELECT_BUDGET}
 """
 
 
+_BPE_TOPK = 50  # merge candidates reported per round
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training support: corpus-wide adjacent-character-pair
+    counts — the inner step of BPE training (Sennrich et al. 2016),
+    whose first round runs on raw characters (later rounds re-run it
+    on re-segmented symbols).  Reports the top _BPE_TOPK merge
+    candidates as (pair, cnt, rank), ties broken pair-ASC so the
+    selected set is deterministic cross-engine.
+
+    100 TB shape: the explode looks corpus-sized but the groupBy key
+    space is bounded by charset² — the partial (map-side) aggregate
+    collapses every task's pairs to at most that many rows, so the
+    shuffle carries key-space partials, never the character stream;
+    the top-k sort runs on the key-space-sized aggregate.  This is
+    why BPE training is count-then-merge and not a sort: the corpus
+    is touched once per round, all heavy state is the pair table."""
+    docs = _read(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim("text"), " +")).alias("w")
+    )
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) < 2 THEN cast(array() as array<string>) "
+                "ELSE transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2)) END"
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BPE_TOPK)
+        .select("pair", "cnt", "rank")
+    )
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+), p AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+    i -> substring(w, i, 2))) AS pair
+  FROM w
+), c AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY pair
+)
+SELECT pair, cnt,
+  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank
+FROM c
+QUALIFY rank <= {_BPE_TOPK}
+"""
+
+
 # -- substring-level exact dedup (Lee et al. 2021) --------------------------
 
 _SUB_K = 8  # duplicate-span window length in words
@@ -5359,6 +5417,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "shuffle_shards": (q_shuffle_shards, SHUFFLE_SHARDS_SQL),
     "mixture_weights": (q_mixture_weights, MIXTURE_WEIGHTS_SQL),
     "corpus_select": (q_corpus_select, CORPUS_SELECT_SQL),
+    "bpe_pair_counts": (q_bpe_pair_counts, BPE_PAIR_COUNTS_SQL),
 }
 
 

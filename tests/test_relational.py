@@ -64,6 +64,7 @@ SUBSET = [
     "shuffle_shards",
     "mixture_weights",
     "corpus_select",
+    "bpe_pair_counts",
 ]
 
 
@@ -187,6 +188,36 @@ def test_mixture_weights_invariants(spark, sf001_dir):
     big, small = tok_share.idxmax(), tok_share.idxmin()
     assert pdf.weight[big] < tok_share[big]
     assert pdf.weight[small] > tok_share[small]
+
+
+def test_bpe_pair_counts_partial_agg_and_pin(spark, sf001_dir):
+    """The pair count must be partial-aggregated (the shuffle carries
+    charset^2-bounded partials, never the character stream), and the
+    counts must equal an independent pure-python recomputation."""
+    from collections import Counter
+
+    import re
+
+    df = R.q_bpe_pair_counts(spark, sf001_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan.lower()
+    got = df.toPandas()
+    assert len(got) <= R._BPE_TOPK
+    texts = (
+        spark.read.parquet(f"{sf001_dir}/documents.parquet")
+        .select("text")
+        .toPandas()["text"]
+    )
+    c = Counter()
+    for t in texts:
+        # match the query's tokenization exactly: trim + split on runs
+        # of ASCII spaces (not arbitrary whitespace)
+        for w in re.split(" +", t.strip(" ")):
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: R._BPE_TOPK]
+    got = got.sort_values("rank")
+    assert list(zip(got["pair"], got["cnt"])) == expect
 
 
 def test_corpus_select_greedy_pin(spark, sf001_dir):
