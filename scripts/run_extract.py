@@ -18,7 +18,13 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="documents parquet (nested spans)")
+    ap.add_argument("--input", required=True,
+                    help="documents table (nested spans): parquet or JSON-lines")
+    ap.add_argument("--input-format", default=None, choices=["parquet", "json"],
+                    help="override the extension-inferred input format")
+    ap.add_argument("--lax-input", action="store_true",
+                    help="drop corrupt input records instead of failing "
+                         "(PERMISSIVE crawl-hygiene mode)")
     ap.add_argument("--sidecar", required=True, help="layout_blocks parquet")
     ap.add_argument("--output", required=True, help="output dir (spans + _checkpoint)")
     ap.add_argument("--buckets", type=int, default=64)
@@ -30,9 +36,12 @@ def main() -> None:
     from latyas_spark.core.document import ExtractConfig
     from latyas_spark.pipeline.checkpoint import run_checkpointed
     from latyas_spark.pipeline.extract import KERNEL_COLS, explode_documents
+    from latyas_spark.pipeline.sources import read_interleaved_docs
 
     spark = SparkSession.builder.appName("latyas-extract").getOrCreate()
-    docs = spark.read.parquet(args.input)
+    docs = read_interleaved_docs(
+        spark, args.input, fmt=args.input_format, strict=not args.lax_input
+    )
     blocks = spark.read.parquet(args.sidecar)
     joined = explode_documents(docs).join(blocks, ["doc_id", "offset"]).select(
         *KERNEL_COLS
