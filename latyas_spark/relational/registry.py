@@ -5244,6 +5244,35 @@ FROM d GROUP BY shard
 MIXTURE_BUDGET = 1_000_000  # token budget the weights allocate
 
 
+def _quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated doc projection (doc_id, lang, source, n_words):
+    q_quality_score's proven gate expressions, shared by the mixture
+    builders (q_mixture_weights aggregates it; q_mixture_sample joins
+    it against the broadcast weight table)."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " +")
+    n_words = F.size(words)
+    n_sym = F.length("text") - F.length(
+        F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_words.alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) / n_words, 4
+        ).alias("mwl"),
+        F.round(n_sym / F.length("text"), 4).alias("symr"),
+    ).filter(
+        (F.col("n_words") >= 10)
+        & (F.col("n_words") <= 1000)
+        & (F.col("mwl") >= 2.0)
+        & (F.col("mwl") <= 12.0)
+        & (F.col("symr") <= 0.2)
+    )
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training mixture construction: temperature-scaled sampling
     weights per (lang, source) over the QUALITY-SURVIVING corpus —
@@ -5266,27 +5295,7 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     task); the normalizing window then runs over that KEY-SPACE-SIZED
     frame (97 rows here, thousands in production — never the corpus),
     so its single-partition Exchange is output-sized by construction."""
-    docs = _read(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), " +")
-    n_words = F.size(words)
-    n_sym = F.length("text") - F.length(
-        F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")
-    )
-    base = docs.select(
-        "lang",
-        "source",
-        n_words.alias("n_words"),
-        F.round(
-            F.length(F.regexp_replace("text", " ", "")) / n_words, 4
-        ).alias("mwl"),
-        F.round(n_sym / F.length("text"), 4).alias("symr"),
-    ).filter(
-        (F.col("n_words") >= 10)
-        & (F.col("n_words") <= 1000)
-        & (F.col("mwl") >= 2.0)
-        & (F.col("mwl") <= 12.0)
-        & (F.col("symr") <= 0.2)
-    )
+    base = _quality_survivors(spark, sf_dir)
     agg = base.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_tokens"),
@@ -5337,6 +5346,89 @@ SELECT lang, source, n_docs, total_tokens, alloc_tokens,
   alloc_tokens / {float(MIXTURE_BUDGET)} AS weight,
   CAST(floor(alloc_tokens * 10000.0 / total_tokens) AS BIGINT) AS epochs_bp
 FROM a
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture REALIZATION: turn q_mixture_weights' per-source token
+    allocation into per-document integer repeat factors — the row set
+    a training dataloader actually consumes.  A source allocated
+    ``alloc`` tokens out of ``total`` gives every doc a base repeat of
+    ``alloc div total`` (whole epochs; >0 means the source is
+    up-sampled with repetition) and the fractional remainder is
+    realized deterministically: doc selected for one extra repeat iff
+    ``md5('mix:'||doc_id) mod total < alloc mod total`` — seedless,
+    cluster-layout-independent, rerun-identical (the same device as
+    shuffle_shards), and in expectation each source contributes
+    exactly its allocated token mass.  Output = docs with repeats > 0.
+
+    100 TB shape: the weight table is key-space-sized and BROADCAST;
+    the doc side is scan -> broadcast-hash join -> filter — ZERO
+    exchanges on the corpus path (plan-asserted in tests), so
+    realization costs one scan regardless of corpus size."""
+    base = _quality_survivors(spark, sf_dir)
+    w = q_mixture_weights(spark, sf_dir).select(
+        "lang", "source", "total_tokens", "alloc_tokens"
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    joined = base.join(F.broadcast(w), ["lang", "source"])
+    base_rep = F.expr("alloc_tokens div total_tokens")
+    extra = (h % F.col("total_tokens") < F.col("alloc_tokens") % F.col("total_tokens")).cast("long")
+    return (
+        joined.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_words").cast("long").alias("n_tokens"),
+            (base_rep + extra).cast("long").alias("repeats"),
+        )
+        .filter(F.col("repeats") > 0)
+    )
+
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH f AS (
+  SELECT doc_id, lang, source,
+    len(string_split_regex(trim(text), ' +')) AS n_words,
+    round(length(replace(text, ' ', '')) * 1.0
+      / len(string_split_regex(trim(text), ' +')), 4) AS mwl,
+    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+      * 1.0 / length(text), 4) AS symr
+  FROM documents
+), p AS (
+  SELECT * FROM f
+  WHERE n_words BETWEEN 10 AND 1000 AND mwl BETWEEN 2.0 AND 12.0
+    AND symr <= 0.2
+), g AS (
+  SELECT lang, source,
+    CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+    CAST(floor(sqrt(CAST(SUM(n_words) AS BIGINT))) AS BIGINT) AS w_raw
+  FROM p GROUP BY lang, source
+), a AS (
+  SELECT lang, source, total_tokens,
+    CAST(floor(w_raw * {float(MIXTURE_BUDGET)} / SUM(w_raw) OVER ())
+      AS BIGINT) AS alloc_tokens
+  FROM g
+)
+SELECT p.doc_id, p.lang, p.source,
+  CAST(p.n_words AS BIGINT) AS n_tokens,
+  (a.alloc_tokens // a.total_tokens
+   + CASE WHEN CAST(('0x' || substr(md5('mix:' || CAST(p.doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) % a.total_tokens
+          < a.alloc_tokens % a.total_tokens THEN 1 ELSE 0 END) AS repeats
+FROM p JOIN a USING (lang, source)
+WHERE a.alloc_tokens // a.total_tokens
+   + CASE WHEN CAST(('0x' || substr(md5('mix:' || CAST(p.doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) % a.total_tokens
+          < a.alloc_tokens % a.total_tokens THEN 1 ELSE 0 END > 0
 """
 
 
@@ -5418,6 +5510,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mixture_weights": (q_mixture_weights, MIXTURE_WEIGHTS_SQL),
     "corpus_select": (q_corpus_select, CORPUS_SELECT_SQL),
     "bpe_pair_counts": (q_bpe_pair_counts, BPE_PAIR_COUNTS_SQL),
+    "mixture_sample": (q_mixture_sample, MIXTURE_SAMPLE_SQL),
 }
 
 

@@ -65,6 +65,7 @@ SUBSET = [
     "mixture_weights",
     "corpus_select",
     "bpe_pair_counts",
+    "mixture_sample",
 ]
 
 
@@ -218,6 +219,40 @@ def test_bpe_pair_counts_partial_agg_and_pin(spark, sf001_dir):
     expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: R._BPE_TOPK]
     got = got.sort_values("rank")
     assert list(zip(got["pair"], got["cnt"])) == expect
+
+
+def test_mixture_sample_realizes_allocation(spark, sf001_dir):
+    """The realized repeats must (a) flow through a broadcast-hash
+    join with ZERO corpus-side exchange, and (b) land each source's
+    realized token mass within one doc of its allocation in
+    expectation terms: base-epoch mass <= realized <= allocation +
+    max-doc mass (the fractional remainder is a Bernoulli over docs,
+    deterministic given the hash, so we bound rather than equate)."""
+    df = R.q_mixture_sample(spark, sf001_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    got = df.toPandas().set_index("doc_id")
+    w = R.q_mixture_weights(spark, sf001_dir).toPandas().set_index(
+        ["lang", "source"]
+    )
+    assert (got.repeats > 0).all()
+    # exact independent recomputation of the realization rule per doc
+    import hashlib
+
+    surv = R._quality_survivors(spark, sf001_dir).toPandas()
+    n_expected = 0
+    for _, r in surv.iterrows():
+        alloc = w.alloc_tokens[(r.lang, r.source)]
+        total = w.total_tokens[(r.lang, r.source)]
+        h = int(hashlib.md5(f"mix:{r.doc_id}".encode()).hexdigest()[:8], 16)
+        rep = alloc // total + (1 if h % total < alloc % total else 0)
+        if rep > 0:
+            n_expected += 1
+            assert got.repeats[r.doc_id] == rep, r.doc_id
+        else:
+            assert r.doc_id not in got.index
+    assert len(got) == n_expected
 
 
 def test_corpus_select_greedy_pin(spark, sf001_dir):
