@@ -988,6 +988,46 @@ WHERE s.rn = 1
 """
 
 
+def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (the reweighting alternative to dropping,
+    per the SoftDeDup line of work): every member of a near-dup
+    cluster keeps its row but carries sampling weight 1/cluster_size —
+    the cluster as a whole contributes one document's worth of mass,
+    without the hard keep/drop cliff that loses within-cluster
+    variation.  Weight is exact integer ppm (``10^6 div n_members``);
+    docs with no near-dup candidate weigh 1.0.
+
+    100 TB shape: the cluster table (docs having >= 1 candidate) is
+    orders smaller than the corpus, so the member->size join happens
+    on that small table and the corpus path is one scan LEFT-joined
+    against the BROADCAST weight table — zero corpus-side exchange,
+    same realization shape as q_mixture_sample."""
+    cc = q_dedup_clusters(spark, sf_dir)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    wtab = cc.join(F.broadcast(sizes), "component").select("doc_id", "n")
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(F.broadcast(wtab), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n", F.lit(1)).cast("long").alias("n_members"),
+        F.expr("1000000 div coalesce(n, 1)").cast("long").alias(
+            "weight_ppm"
+        ),
+    )
+
+
+DEDUP_SOFT_SQL = f"""
+WITH RECURSIVE {_CC_CTES}, m AS (
+  SELECT component, COUNT(*) AS n FROM cc GROUP BY component
+), w AS (
+  SELECT c.doc_id, m.n FROM cc c JOIN m USING (component)
+)
+SELECT d.doc_id,
+  CAST(COALESCE(w.n, 1) AS BIGINT) AS n_members,
+  CAST(1000000 // COALESCE(w.n, 1) AS BIGINT) AS weight_ppm
+FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: minhash LSH candidate pairs grouped into
     connected components (graph.py min-label propagation; the oracle is
@@ -5511,6 +5551,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corpus_select": (q_corpus_select, CORPUS_SELECT_SQL),
     "bpe_pair_counts": (q_bpe_pair_counts, BPE_PAIR_COUNTS_SQL),
     "mixture_sample": (q_mixture_sample, MIXTURE_SAMPLE_SQL),
+    "dedup_soft": (q_dedup_soft, DEDUP_SOFT_SQL),
 }
 
 

@@ -66,6 +66,7 @@ SUBSET = [
     "corpus_select",
     "bpe_pair_counts",
     "mixture_sample",
+    "dedup_soft",
 ]
 
 
@@ -253,6 +254,31 @@ def test_mixture_sample_realizes_allocation(spark, sf001_dir):
         else:
             assert r.doc_id not in got.index
     assert len(got) == n_expected
+
+
+def test_dedup_soft_mass_conservation(spark, sf001_dir):
+    """Soft-dedup invariant: every cluster's summed weight is one
+    document's mass (ppm sums to ~1e6 per component, exact up to the
+    integer-division floor), un-clustered docs weigh exactly 1e6, and
+    the corpus path is a broadcast join (no SortMergeJoin)."""
+    df = R.q_dedup_soft(spark, sf001_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    got = df.toPandas()
+    n_docs = spark.read.parquet(f"{sf001_dir}/documents.parquet").count()
+    assert len(got) == n_docs
+    singles = got[got.n_members == 1]
+    assert (singles.weight_ppm == 1_000_000).all()
+    clustered = got[got.n_members > 1]
+    assert len(clustered) > 0
+    cc = R.q_dedup_clusters(spark, sf001_dir).toPandas()
+    comp = cc.set_index("doc_id").component
+    mass = clustered.assign(c=clustered.doc_id.map(comp)).groupby("c")
+    for _, g in mass:
+        n = g.n_members.iloc[0]
+        assert (g.n_members == n).all() and len(g) == n
+        assert n * (1_000_000 // n) == g.weight_ppm.sum()
+        assert 1_000_000 - n < g.weight_ppm.sum() <= 1_000_000
 
 
 def test_corpus_select_greedy_pin(spark, sf001_dir):
