@@ -4682,6 +4682,149 @@ GROUP BY doc_id
 )
 
 
+def _hf_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-line frame for running header/footer detection: the span
+    corpus's text lines plus a deterministic fixture injection (real
+    crawls carry real running headers; this corpus must synthesize
+    them).  Per (doc, page): a constant header line, a page-numbered
+    footer line ("Page N of 3" — only digit-normalization makes it
+    repeat), and a page-0-only DRAFT line that must NOT be flagged
+    (pins the >=2-pages rule).  The ``distinct`` here is fixture
+    synthesis, not operator cost — a real corpus reads its lines
+    straight off the page scan."""
+    b = synth_blocks(spark, sf_dir)
+    real = b.filter(F.col("text").isNotNull()).select(
+        "doc_id", "page", "y1", "text"
+    )
+    pages = b.select("doc_id", "page").distinct()
+    hdr = pages.select(
+        "doc_id",
+        "page",
+        F.lit(10.0).alias("y1"),
+        F.concat(F.lit("CONFIDENTIAL "), "doc_id").alias("text"),
+    )
+    ftr = pages.select(
+        "doc_id",
+        "page",
+        F.lit(880.0).alias("y1"),
+        F.concat(
+            F.lit("Page "), F.col("page").cast("string"), F.lit(" of 3")
+        ).alias("text"),
+    )
+    once = pages.filter(F.col("page") == 0).select(
+        "doc_id",
+        "page",
+        F.lit(20.0).alias("y1"),
+        F.concat(F.lit("DRAFT "), "doc_id", F.lit(" rev A")).alias("text"),
+    )
+    return real.unionByName(hdr).unionByName(ftr).unionByName(once)
+
+
+def q_header_footer_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running header/footer detection — the page-furniture drop-list
+    every PDF/scan extraction pipeline needs before page text is usable
+    (the reference's page loop re-extracts furniture on every page;
+    pdf2txt.py:52-100 has no cross-page pass at all, so this is the
+    corpus-level operator the single-doc reference cannot express).
+
+    Rule: a line is page furniture iff (a) it sits in the header band
+    (y < 120) or footer band (y >= 780), (b) its digit-normalized form
+    (lowercase, digit runs -> '#', so "Page 1 of 3"/"Page 2 of 3"
+    collide) recurs on >= max(2, ceil(0.6 * doc_pages)) distinct pages
+    of the SAME document, and (c) its y position is stable across
+    occurrences (max - min <= 5px) — position stability is what
+    separates a genuinely anchored header from same-shaped body text
+    that happens to repeat.
+
+    100 TB shape: ONE corpus shuffle — the combinable
+    (doc, band, norm_line) agg (collect_set(page) is bounded by pages
+    per doc); the per-doc page count derives from the GROUP frame (not
+    a second corpus scan) and the final join is between two
+    key-space-sized frames."""
+    norm = F.regexp_replace(F.lower("text"), "[0-9]+", "#")
+    band = (
+        F.when(F.col("y1") < 120, F.lit("header"))
+        .when(F.col("y1") >= 780, F.lit("footer"))
+        .otherwise(F.lit("body"))
+    )
+    lines = _hf_lines(spark, sf_dir).select(
+        "doc_id",
+        band.alias("band"),
+        norm.alias("norm_line"),
+        "page",
+        "y1",
+    )
+    g = lines.groupBy("doc_id", "band", "norm_line").agg(
+        F.collect_set("page").alias("pages"),
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min("y1").alias("y_min"),
+        F.max("y1").alias("y_max"),
+    )
+    docp = g.groupBy("doc_id").agg(
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("pages")))
+        ).alias("doc_pages")
+    )
+    need = F.expr("greatest(cast(2 as bigint), (3 * doc_pages + 4) div 5)")
+    return (
+        g.join(docp, "doc_id")
+        .filter(
+            (F.col("band") != "body")
+            & (F.size("pages").cast("long") >= need)
+            & (F.col("y_max") - F.col("y_min") <= 5.0)
+        )
+        .select(
+            "doc_id",
+            "band",
+            "norm_line",
+            F.size("pages").cast("long").alias("n_pages"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+        )
+    )
+
+
+HEADER_FOOTER_SQL = (
+    _blocks_cte()
+    + """
+, pg AS (SELECT DISTINCT doc_id, page FROM blocks),
+lines AS (
+  SELECT doc_id, page, y1, text FROM blocks WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, page, 10.0, 'CONFIDENTIAL ' || doc_id FROM pg
+  UNION ALL
+  SELECT doc_id, page, 880.0,
+    'Page ' || CAST(page AS VARCHAR) || ' of 3' FROM pg
+  UNION ALL
+  SELECT doc_id, page, 20.0, 'DRAFT ' || doc_id || ' rev A'
+  FROM pg WHERE page = 0
+),
+l AS (
+  SELECT doc_id,
+    CASE WHEN y1 < 120 THEN 'header'
+         WHEN y1 >= 780 THEN 'footer' ELSE 'body' END AS band,
+    regexp_replace(lower(text), '[0-9]+', '#', 'g') AS norm_line,
+    page, y1
+  FROM lines
+),
+g AS (
+  SELECT doc_id, band, norm_line,
+    COUNT(DISTINCT page) AS n_pages, COUNT(*) AS n_occ,
+    MIN(y1) AS y_min, MAX(y1) AS y_max
+  FROM l GROUP BY doc_id, band, norm_line
+),
+docp AS (
+  SELECT doc_id, COUNT(DISTINCT page) AS doc_pages FROM l GROUP BY doc_id
+)
+SELECT g.doc_id, band, norm_line,
+  CAST(n_pages AS BIGINT) AS n_pages, CAST(n_occ AS BIGINT) AS n_occ
+FROM g JOIN docp USING (doc_id)
+WHERE band <> 'body'
+  AND n_pages >= greatest(2, (3 * doc_pages + 4) // 5)
+  AND y_max - y_min <= 5.0
+"""
+)
+
+
 # -- dedup + corpus reports ---------------------------------------------------
 
 
@@ -5552,6 +5695,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bpe_pair_counts": (q_bpe_pair_counts, BPE_PAIR_COUNTS_SQL),
     "mixture_sample": (q_mixture_sample, MIXTURE_SAMPLE_SQL),
     "dedup_soft": (q_dedup_soft, DEDUP_SOFT_SQL),
+    "header_footer_strip": (q_header_footer_strip, HEADER_FOOTER_SQL),
 }
 
 

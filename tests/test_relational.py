@@ -67,6 +67,7 @@ SUBSET = [
     "bpe_pair_counts",
     "mixture_sample",
     "dedup_soft",
+    "header_footer_strip",
 ]
 
 
@@ -884,3 +885,21 @@ def test_bm25_ranks_by_term_frequency_and_length(spark, tmp_path):
     assert got[0] > got[1] > got[2] > 0
     for d in range(3, 12):
         assert got.get(d, 0.0) == 0.0
+
+
+def test_header_footer_rules(spark, sf001_dir):
+    """Pins the three detection rules on the injected fixture lines:
+    the constant header is flagged on every multi-page doc, the
+    page-numbered footer is flagged ONLY because digit normalization
+    collapses "Page N of 3" across pages, and the page-0-only DRAFT
+    line never appears (>=2 distinct pages required)."""
+    got = R.q_header_footer_strip(spark, sf001_dir).toPandas()
+    hdr = got[got.norm_line == "confidential evdoc-#"]
+    ftr = got[got.norm_line == "page # of #"]
+    assert len(hdr) > 0 and (hdr.band == "header").all()
+    assert len(ftr) > 0 and (ftr.band == "footer").all()
+    # every doc that got the header also got the footer: both are
+    # injected on the same (doc, page) set
+    assert set(hdr.doc_id) == set(ftr.doc_id)
+    assert (ftr.n_pages >= 2).all()
+    assert not got.norm_line.str.startswith("draft").any()
