@@ -5067,6 +5067,102 @@ FROM n
 """
 
 
+def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-break de-hyphenation — the text repair every PDF-text
+    extraction needs before tokenization (the reference consumes PDF
+    text layers where renderers wrap lines and hyphenate long words;
+    pdf2txt.py:52-100 emits that text verbatim, so downstream token
+    counts see "exam-" + "ple" as two words).  Repair, in order:
+    (1) join hyphenated line breaks — ``letter '-' \\n letter`` becomes
+    the two letters; (2) unwrap remaining line breaks to spaces.
+
+    The sandbox corpus has no line breaks, so each row first derives a
+    deterministic DIRTY variant simulating a PDF line-wrapper: every
+    all-letter word of length >= 8 is split at its midpoint with
+    ``-\\n``, and the separator BEFORE every word whose length is a
+    multiple of 5 becomes ``\\n`` (a plain wrap, which must NOT join
+    words).  ``roundtrip_ok`` proves the repair inverts the wrap
+    exactly, row by row.
+
+    100 TB shape: doc-local higher-order fns + two regex passes —
+    zero shuffle, scan speed; ``content_fp`` is the post-repair hash
+    dedup stages key on."""
+    docs = _read(spark, sf_dir, "documents")
+    dirty = F.expr(
+        "concat_ws('', transform(split(trim(text), ' +'), (w, i) ->"
+        " concat("
+        "  case when i = 0 then ''"
+        "       when length(w) % 5 = 0 then '\\n' else ' ' end,"
+        "  case when length(w) >= 8 and w rlike '^[a-z]+$'"
+        "       then concat(substring(w, 1, length(w) div 2), '-\\n',"
+        "                   substring(w, length(w) div 2 + 1))"
+        "       else w end)))"
+    )
+    d = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        dirty.alias("dirty"),
+    )
+    dehyph = F.regexp_replace("dirty", "([a-z])-\\n([a-z])", "$1$2")
+    d = d.select(
+        "doc_id",
+        "text",
+        "dirty",
+        dehyph.alias("dehyph"),
+    )
+    repaired = F.regexp_replace("dehyph", "\\n", " ")
+    expected = F.expr("concat_ws(' ', split(trim(text), ' +'))")
+    return d.select(
+        "doc_id",
+        (
+            F.length("dirty")
+            - F.length(F.regexp_replace("dirty", "\\n", ""))
+        ).cast("long").alias("n_breaks"),
+        ((F.length("dirty") - F.length("dehyph")) / 2)
+        .cast("long")
+        .alias("n_hyphen_joins"),
+        (repaired == expected).alias("roundtrip_ok"),
+        F.md5(repaired).alias("content_fp"),
+    )
+
+
+DEHYPHENATE_SQL = r"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+    unnest(string_split_regex(trim(text), ' +')) AS w,
+    generate_subscripts(string_split_regex(trim(text), ' +'), 1) AS i
+  FROM documents
+), e AS (
+  SELECT doc_id, text, i,
+    (CASE WHEN i = 1 THEN ''
+          WHEN length(w) % 5 = 0 THEN chr(10) ELSE ' ' END) ||
+    (CASE WHEN length(w) >= 8 AND regexp_matches(w, '^[a-z]+$')
+          THEN substring(w, 1, length(w) // 2) || '-' || chr(10)
+               || substring(w, length(w) // 2 + 1)
+          ELSE w END) AS elem
+  FROM w
+), d AS (
+  SELECT doc_id, any_value(text) AS text,
+    string_agg(elem, '' ORDER BY i) AS dirty
+  FROM e GROUP BY doc_id
+), r AS (
+  SELECT doc_id, text, dirty,
+    regexp_replace(dirty, '([a-z])-\n([a-z])', '\1\2', 'g') AS dehyph
+  FROM d
+)
+SELECT doc_id,
+  CAST(length(dirty) - length(replace(dirty, chr(10), '')) AS BIGINT)
+    AS n_breaks,
+  CAST((length(dirty) - length(dehyph)) // 2 AS BIGINT)
+    AS n_hyphen_joins,
+  replace(dehyph, chr(10), ' ')
+    = array_to_string(string_split_regex(trim(text), ' +'), ' ')
+    AS roundtrip_ok,
+  md5(replace(dehyph, chr(10), ' ')) AS content_fp
+FROM r
+"""
+
+
 # -- RAG chunking (sliding window with overlap) -----------------------------
 
 
@@ -5696,6 +5792,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mixture_sample": (q_mixture_sample, MIXTURE_SAMPLE_SQL),
     "dedup_soft": (q_dedup_soft, DEDUP_SOFT_SQL),
     "header_footer_strip": (q_header_footer_strip, HEADER_FOOTER_SQL),
+    "dehyphenate": (q_dehyphenate, DEHYPHENATE_SQL),
 }
 
 

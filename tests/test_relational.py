@@ -68,6 +68,7 @@ SUBSET = [
     "mixture_sample",
     "dedup_soft",
     "header_footer_strip",
+    "dehyphenate",
 ]
 
 
@@ -718,7 +719,8 @@ def test_scan_speed_ops_have_zero_shuffle(spark, sf001_dir):
     from latyas_spark.relational import registry as R
 
     for q in (R.q_rep_ngrams, R.q_pii_scrub, R.q_fingerprint, R.q_token_stats,
-              R.q_quality_classifier, R.q_text_normalize, R.q_chunk_overlap):
+              R.q_quality_classifier, R.q_text_normalize, R.q_chunk_overlap,
+              R.q_dehyphenate):
         plan = (
             q(spark, sf001_dir)
             ._jdf.queryExecution().executedPlan().toString()
@@ -903,3 +905,24 @@ def test_header_footer_rules(spark, sf001_dir):
     assert set(hdr.doc_id) == set(ftr.doc_id)
     assert (ftr.n_pages >= 2).all()
     assert not got.norm_line.str.startswith("draft").any()
+
+
+def test_dehyphenate_repairs_wraps(spark, sf001_dir, tmp_path):
+    """Every corpus row must roundtrip (repair inverts the synthetic
+    line-wrapper exactly), and on a crafted doc the counts are exact:
+    'alphabet' (8) and 'considerable' (12) get hyphen-split, 'pears'
+    (5) gets a plain wrap that must NOT join words."""
+    got = R.q_dehyphenate(spark, sf001_dir).toPandas()
+    assert got.roundtrip_ok.all()
+    assert (got.n_hyphen_joins > 0).any()
+    assert (got.n_breaks >= got.n_hyphen_joins).all()
+
+    pd.DataFrame(
+        [(0, "alphabet soup considerable pears xy")],
+        columns=["doc_id", "text"],
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    row = R.q_dehyphenate(spark, str(tmp_path)).collect()[0]
+    # 2 hyphen splits (alphabet, considerable) + 1 plain wrap (pears)
+    assert row["n_hyphen_joins"] == 2
+    assert row["n_breaks"] == 3
+    assert bool(row["roundtrip_ok"]) is True
