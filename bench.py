@@ -584,15 +584,15 @@ def build_summary_line(qtimes: dict, total: float, sf_val, scaling) -> str:
         "efficiency_8_32": sc.get("efficiency_8_32"),
         "efficiency_8_32_wh": sc.get("efficiency_8_32_wh"),
     }
-    line = json.dumps(summary)
+    line = json.dumps(summary, separators=(",", ":"))
     if len(line) > MAX_SUMMARY_LINE:
         summary["queries"] = {k: int(round(v)) for k, v in qtimes.items()}
-        line = json.dumps(summary)
+        line = json.dumps(summary, separators=(",", ":"))
         while len(line) > MAX_SUMMARY_LINE and summary["queries"]:
             keep = sorted(qtimes, key=qtimes.get, reverse=True)
             keep = keep[: max(len(summary["queries"]) - 10, 0)]
             summary["queries"] = {k: int(round(qtimes[k])) for k in keep}
-            line = json.dumps(summary)
+            line = json.dumps(summary, separators=(",", ":"))
     return line
 
 

@@ -1267,6 +1267,137 @@ WHERE t.is_new
 """
 
 
+# -- Bloom-filter membership at ingest ---------------------------------------
+
+# m bits / k hash lanes.  Tiny on purpose: the sandbox corpus must
+# actually exercise collisions so the false-positive path is tested,
+# not just theorized (4k bits vs ~800 index fps -> measurable FPR).
+BLOOM_M_BITS = 4096
+BLOOM_K = 3
+
+# lane i's bit position for a content hash fp: low 32 bits of
+# md5(fp:i), folded onto the filter width
+_BLOOM_POS_EXPR = (
+    f"transform(sequence(0, {BLOOM_K - 1}), i ->"
+    " cast(conv(substring(md5(concat(fp, ':', cast(i as string))),"
+    f" 1, 8), 16, 10) as bigint) % {BLOOM_M_BITS})"
+)
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership at ingest: the space-bounded alternative
+    to ``dedup_incremental``'s fingerprint index when even the index is
+    too big to join — the filter is {BLOOM_M} bits REGARDLESS of corpus
+    size, so a new shard is screened with zero shuffle of anything
+    corpus-sized.
+
+    Build: k={K} lanes hash each index doc's content md5 onto an
+    m={BLOOM_M}-bit filter (here realized as <= m distinct set-bit
+    rows, the relational encoding of the bitmap).  Probe: a new doc is
+    a ``bloom_hit`` iff ALL k of its bits are set.  Verdict per new
+    doc: ``dup`` (truly in the index), ``false_positive`` (bloom says
+    yes, truth says no — the price of constant space), ``fresh``.
+    Bloom's one-sided guarantee — no false NEGATIVES — is pinned by a
+    dedicated test and by the verdict CASE itself (a true dup that
+    missed the filter would surface as a ``dup`` row with
+    ``bloom_hit = false``).
+
+    100 TB shape: the filter build is one partial-aggregatable pass
+    over the index (bitmap OR is combinable; here distinct over <= m
+    rows) and the result is BROADCAST — the probe side never
+    shuffles.  m is deliberately tiny ({BLOOM_M} bits) so the sandbox
+    corpus drives real collisions and the measured FPR is nonzero; at
+    scale m grows to ~10 bits/key (2^33 bits per 10^9 docs) and the
+    broadcast is ~1 GB, still executor-resident.  The exact-truth join
+    exists ONLY to grade the filter (it is what bloom replaces);
+    production ships the bloom verdict alone."""
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr(_NEW_SHARD_PRED).alias("is_new"),
+        F.md5("text").alias("fp"),
+    )
+    # three consumers (filter build, probe, truth join) share one scan
+    base = base.localCheckpoint(eager=False)
+    bits = base.select(
+        "doc_id", "is_new", F.explode(F.expr(_BLOOM_POS_EXPR)).alias("bit")
+    )
+    bloom = (
+        bits.filter(~F.col("is_new"))
+        .select("bit")
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probe = (
+        bits.filter("is_new")
+        # distinct: two lanes of one doc may collide onto one bit;
+        # membership is over the SET of bits
+        .select("doc_id", "bit")
+        .distinct()
+        .join(F.broadcast(bloom), "bit", "left")
+        .groupBy("doc_id")
+        .agg(
+            (F.min(F.coalesce("present", F.lit(0))) == 1).alias("bloom_hit")
+        )
+    )
+    idx_fp = (
+        base.filter(~F.col("is_new"))
+        .select(F.col("fp").alias("i_fp"))
+        .distinct()
+    )
+    return (
+        base.filter("is_new")
+        .select("doc_id", "fp")
+        .join(probe, "doc_id")
+        .join(idx_fp, F.col("fp") == F.col("i_fp"), "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.when(F.col("i_fp").isNotNull(), F.lit("dup"))
+            .when(F.col("bloom_hit"), F.lit("false_positive"))
+            .otherwise(F.lit("fresh"))
+            .alias("verdict"),
+        )
+    )
+
+
+q_bloom_dedup.__doc__ = q_bloom_dedup.__doc__.format(
+    BLOOM_M=BLOOM_M_BITS, K=BLOOM_K
+)
+
+_BLOOM_LANES_DUCK = ", ".join(str(i) for i in range(BLOOM_K))
+
+BLOOM_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_NEW_SHARD_PRED_DUCK} AS is_new, md5(text) AS fp
+  FROM documents
+), bits AS (
+  SELECT doc_id, is_new,
+    CAST(('0x' || substr(md5(fp || ':' || CAST(i AS VARCHAR)), 1, 8))
+      AS BIGINT) % {BLOOM_M_BITS} AS bit
+  FROM base, unnest([{_BLOOM_LANES_DUCK}]) AS t(i)
+), bloom AS (
+  SELECT DISTINCT bit FROM bits WHERE NOT is_new
+), probe AS (
+  SELECT p.doc_id,
+    bool_and(b.bit IS NOT NULL) AS bloom_hit
+  FROM (SELECT DISTINCT doc_id, bit FROM bits WHERE is_new) p
+  LEFT JOIN bloom b ON b.bit = p.bit
+  GROUP BY p.doc_id
+), idx_fp AS (
+  SELECT DISTINCT fp AS i_fp FROM base WHERE NOT is_new
+)
+SELECT n.doc_id, p.bloom_hit,
+  CASE WHEN i.i_fp IS NOT NULL THEN 'dup'
+       WHEN p.bloom_hit THEN 'false_positive'
+       ELSE 'fresh' END AS verdict
+FROM base n
+JOIN probe p ON p.doc_id = n.doc_id
+LEFT JOIN idx_fp i ON i.i_fp = n.fp
+WHERE n.is_new
+"""
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 16-bit signature from FULL-text per-word md5 bit votes,
     bucketed.
@@ -5760,6 +5891,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dual_simple": (q_dual_simple, DUAL_SIMPLE_SQL),
     "cetd_simple": (q_cetd_simple, CETD_SIMPLE_SQL),
     "dedup_incremental": (q_dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    "bloom_dedup": (q_bloom_dedup, BLOOM_DEDUP_SQL),
     "table_cells": (q_table_cells, TABLE_CELLS_SQL),
     "table_export": (q_table_export, TABLE_EXPORT_SQL),
     "pad_plan": (q_pad_plan, PAD_PLAN_SQL),

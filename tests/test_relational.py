@@ -69,6 +69,7 @@ SUBSET = [
     "dedup_soft",
     "header_footer_strip",
     "dehyphenate",
+    "bloom_dedup",
 ]
 
 
@@ -726,6 +727,58 @@ def test_scan_speed_ops_have_zero_shuffle(spark, sf001_dir):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan, q.__name__
+
+
+def test_bloom_dedup_semantics(spark, sf001_dir, tmp_path):
+    """Pins Bloom's one-sided guarantee and the broadcast plan shape.
+
+    Crafted corpus: one NEW doc's text equals an INDEX doc's text (an
+    exact cross-shard dup) — it MUST come back verdict='dup' with
+    bloom_hit=true (a Bloom filter has no false negatives).  On the
+    sandbox corpus: every bloom miss is truly fresh, every dup is a
+    hit, and the measured FPR stays under 10% (m/k are sized so the
+    FP path actually fires at sf0.001 — asserted non-empty)."""
+    import hashlib
+
+    # split crafted ids exactly as _NEW_SHARD_PRED does
+    def is_new(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[0] in "01"
+
+    ids = list(range(1, 60))
+    new_ids = [i for i in ids if is_new(i)]
+    idx_ids = [i for i in ids if not is_new(i)]
+    assert new_ids and idx_ids
+    dup_new = new_ids[0]
+    rows = [
+        (i, "shared corpus text" if i in (dup_new, idx_ids[0])
+         else f"unique text {i}")
+        for i in ids
+    ]
+    d = str(tmp_path / "bloom")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = R.q_bloom_dedup(spark, d).toPandas().set_index("doc_id")
+    assert set(got.index) == {str(i) if got.index.dtype == object else i
+                              for i in new_ids}
+    assert got.loc[dup_new, "verdict"] == "dup"
+    assert bool(got.loc[dup_new, "bloom_hit"])
+
+    # sandbox corpus: one-sidedness + measured FPR bound + FP coverage
+    full = R.q_bloom_dedup(spark, sf001_dir).toPandas()
+    assert ((full["verdict"] == "dup") <= full["bloom_hit"]).all()
+    assert (~full["bloom_hit"] <= (full["verdict"] == "fresh")).all()
+    n_fp = (full["verdict"] == "false_positive").sum()
+    n_clean = (full["verdict"] != "dup").sum()
+    assert n_fp >= 1, "filter sized too large: FP path never exercised"
+    assert n_fp / n_clean < 0.10
+
+    # the filter side must broadcast: the probe never shuffles
+    plan = (
+        R.q_bloom_dedup(spark, sf001_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
 
 
 def test_chunk_overlap_no_subset_tail(spark, tmp_path):
