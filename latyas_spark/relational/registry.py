@@ -1935,6 +1935,176 @@ SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.3
 """
 
 
+# K and quantization scale for the k-means IVF demo (also reused by
+# the kNN graph below).  floor(x * 1e6) is identical IEEE double
+# arithmetic in Spark and DuckDB, and keeps every later operation
+# (sums, squared distances) in exact int64: |x| < 0.6 -> components
+# < 6e5, squared diffs < 1.5e12, x64 dims < 1e14 -- far inside int64.
+_KM_K = 8
+_KM_Q = 1_000_000
+
+KNN_K = 3
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph over the embedding corpus: per vector, its
+    top-{K} cosine neighbors among LSH-bucket candidates — the graph
+    structure graph-based curation consumes (connected-component
+    pruning, density filtering, SemDeDup-style cluster seeding), where
+    ``dedup_embedding`` stops at thresholded PAIRS.
+
+    Candidates: the same 8-band x 8-sign-bit bucketing as
+    dedup_embedding (bucket cap 64 — a degenerate bucket never goes
+    quadratic), here over the exact-int quantized vectors (_km_vectors)
+    so the band bit is ``iv[d] > 0``.  Each undirected candidate pair
+    feeds BOTH directed edges; per-node rank is a window over the
+    node's own candidate list (bounded by 8 bands x 64 cap), never a
+    global sort.
+
+    Cross-engine determinism: dot and norms are EXACT int64 sums over
+    the quantized components (order-independent — no float-fold
+    ambiguity), so cos is one IEEE sqrt/multiply/divide chain on
+    identical inputs; ranking sorts the full-precision double (6dp is
+    display rounding only) with ties broken on nbr_id asc."""
+    iv = _km_vectors(spark, sf_dir)
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    " + ".join(
+                        f"(case when iv[{b * 8 + i}] > 0 then {1 << i}"
+                        " else 0 end)"
+                        for i in range(8)
+                    )
+                ).alias("sig"),
+            )
+            for b in range(8)
+        ]
+    )
+    x = (
+        iv.select("vec_id", "iv", F.explode_outer(band_sigs).alias("bs"))
+        .filter(F.col("bs").isNotNull())
+        .select(
+            "vec_id",
+            "iv",
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
+        )
+    )
+    wcnt = F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+    pairs = (
+        x.withColumn("cnt", wcnt)
+        .filter(F.col("cnt") <= 64)
+        .groupBy("band", "sig")
+        .agg(F.collect_list(F.struct("vec_id", "iv")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    _pair_explode_expr(
+                        "vec_id", "iv", "vec_a", "iva", "vec_b", "ivb"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.vec_a", "p.iva", "p.vec_b", "p.ivb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    dot = F.expr(
+        "aggregate(zip_with(iva, ivb, (x, y) -> x * y),"
+        " cast(0 as bigint), (s, x) -> s + x)"
+    )
+    na = F.expr(
+        "aggregate(iva, cast(0 as bigint), (s, x) -> s + x * x)"
+    )
+    nb = F.expr(
+        "aggregate(ivb, cast(0 as bigint), (s, x) -> s + x * x)"
+    )
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        (
+            dot.cast("double")
+            / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+        ).alias("cos"),
+    )
+    edges = scored.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("nbr_id"),
+        "cos",
+    ).unionByName(
+        scored.select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("nbr_id"),
+            "cos",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("nbr_id")
+    )
+    return (
+        edges.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "vec_id",
+            "rank",
+            "nbr_id",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+q_knn_graph.__doc__ = q_knn_graph.__doc__.format(K=KNN_K)
+
+KNN_GRAPH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT)) AS iv
+  FROM embeddings
+), x AS (
+  SELECT vec_id, CAST(band AS INT) AS band,
+    (CASE WHEN iv[band*8+1] > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN iv[band*8+2] > 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN iv[band*8+3] > 0 THEN 4 ELSE 0 END)
+    + (CASE WHEN iv[band*8+4] > 0 THEN 8 ELSE 0 END)
+    + (CASE WHEN iv[band*8+5] > 0 THEN 16 ELSE 0 END)
+    + (CASE WHEN iv[band*8+6] > 0 THEN 32 ELSE 0 END)
+    + (CASE WHEN iv[band*8+7] > 0 THEN 64 ELSE 0 END)
+    + (CASE WHEN iv[band*8+8] > 0 THEN 128 ELSE 0 END) AS sig
+  FROM e, (SELECT unnest(range(8)) AS band) b
+), capped AS (
+  SELECT band, sig FROM x GROUP BY band, sig HAVING COUNT(*) <= 64
+), xs AS (
+  SELECT x.vec_id, x.band, x.sig FROM x JOIN capped USING (band, sig)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM xs a JOIN xs b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT vec_a, vec_b,
+    CAST(list_sum(list_transform(list_zip(ea.iv, eb.iv),
+        p -> p[1] * p[2])) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(ea.iv, x -> x*x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(eb.iv, x -> x*x))
+                AS DOUBLE))) AS cos
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.vec_a
+  JOIN e eb ON eb.vec_id = cand.vec_b
+), edges AS (
+  SELECT vec_a AS vec_id, vec_b AS nbr_id, cos FROM scored
+  UNION ALL
+  SELECT vec_b, vec_a, cos FROM scored
+)
+SELECT vec_id,
+  CAST(row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS INT) AS rank,
+  nbr_id, round(cos, 6) AS cos_sim
+FROM edges
+QUALIFY rank <= {KNN_K}
+"""
+
+
 # -- text analysis ---------------------------------------------------------
 
 
@@ -3697,13 +3867,95 @@ SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
 """
 
 
-# K and quantization scale for the k-means IVF demo.  floor(x * 1e6)
-# is identical IEEE double arithmetic in Spark and DuckDB, and keeps
-# every later operation (sums, squared distances) in exact int64:
-# |x| < 0.6 -> components < 6e5, squared diffs < 1.5e12, x64 dims
-# < 1e14 -- far inside int64.
-_KM_K = 8
-_KM_Q = 1_000_000
+TFIDF_TOPK = 3
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{K} salient terms by TF-IDF — the keyword
+    tagging pass a corpus pipeline runs to index/route documents (the
+    per-DOC complement of ``bm25_topk``'s per-QUERY retrieval; same
+    Robertson-family statistics, no reference analog).
+
+    score = tf * ln(n_docs / df): both inputs are exact integers, the
+    ratio is one IEEE division and one libm ln in both engines, and the
+    result is rounded to 6dp — the same cross-engine float discipline
+    as bm25_topk.  Ties (same score inside a doc — common, since a
+    corpus-unique term in a doc appears once) break on term asc, so
+    row_number is deterministic.
+
+    100 TB shape: the (doc, term, tf) frame is classic wordcount —
+    partially aggregated map-side, ONE shuffle on (doc_id, term); df
+    reduces the SAME frame by term (stop-word-heavy terms are one
+    combiner row per partition, never a hot reduce key); n_docs is a
+    broadcast single-row agg.  The tf-df join shuffles on term
+    (vocab-sized sides, both already aggregated), and the final top-k
+    is a per-doc window over the doc's own vocabulary — bounded fan-in,
+    no global sort.  The exploded frame is lazily checkpointed so tf
+    and df share one corpus scan."""
+    docs = _read(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), " +")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # two consumers (df reduction + the join's left side): one scan
+    tf = tf.localCheckpoint(eager=False)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "rank", "term", "score")
+    )
+
+
+q_tfidf_keywords.__doc__ = q_tfidf_keywords.__doc__.format(K=TFIDF_TOPK)
+
+TFIDF_KEYWORDS_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id,
+      unnest(string_split_regex(trim(text), ' +')) AS term
+    FROM documents
+  ) WHERE term <> ''
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term,
+    round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS score
+  FROM tf t JOIN df d ON d.term = t.term, n
+)
+SELECT doc_id,
+  CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank,
+  term, score
+FROM scored
+QUALIFY rank <= {TFIDF_TOPK}
+"""
 
 
 def _km_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5892,6 +6144,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cetd_simple": (q_cetd_simple, CETD_SIMPLE_SQL),
     "dedup_incremental": (q_dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "bloom_dedup": (q_bloom_dedup, BLOOM_DEDUP_SQL),
+    "tfidf_keywords": (q_tfidf_keywords, TFIDF_KEYWORDS_SQL),
+    "knn_graph": (q_knn_graph, KNN_GRAPH_SQL),
     "table_cells": (q_table_cells, TABLE_CELLS_SQL),
     "table_export": (q_table_export, TABLE_EXPORT_SQL),
     "pad_plan": (q_pad_plan, PAD_PLAN_SQL),

@@ -70,6 +70,8 @@ SUBSET = [
     "header_footer_strip",
     "dehyphenate",
     "bloom_dedup",
+    "tfidf_keywords",
+    "knn_graph",
 ]
 
 
@@ -727,6 +729,81 @@ def test_scan_speed_ops_have_zero_shuffle(spark, sf001_dir):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan, q.__name__
+
+
+def test_tfidf_keywords_hand_checked(spark, tmp_path):
+    """Hand-computed TF-IDF on a 3-doc corpus: a corpus-unique repeated
+    term outranks a shared term; a term in EVERY doc scores exactly 0
+    and ranks last; a 2-term doc emits only 2 rows."""
+    import math
+
+    rows = [
+        (1, "apple apple banana common"),
+        (2, "banana common common"),
+        (3, "cherry common"),
+    ]
+    d = str(tmp_path / "tfidf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = R.q_tfidf_keywords(spark, d).toPandas()
+    got["doc_id"] = got["doc_id"].astype(int)
+    by_doc = {
+        k: list(g.sort_values("rank")[["term", "score"]].itertuples(index=False))
+        for k, g in got.groupby("doc_id")
+    }
+    assert [t for t, _ in by_doc[1]] == ["apple", "banana", "common"]
+    assert by_doc[1][0].score == round(2 * math.log(3.0), 6)
+    assert by_doc[1][2].score == 0.0
+    assert [t for t, _ in by_doc[3]] == ["cherry", "common"]
+    assert len(by_doc[3]) == 2
+
+
+def test_knn_graph_hand_checked(spark, tmp_path):
+    """Independent numpy pin on a crafted 4-vector corpus: three
+    same-sign vectors form a bucket clique whose per-node neighbor
+    ORDER must match exact cosine on the quantized ints; the
+    opposite-sign vector shares no bucket and emits no rows."""
+    import math
+
+    vecs = {
+        1: [0.5] * 64,
+        2: [0.5] * 32 + [0.25] * 32,
+        3: [0.5] * 63 + [0.1],
+        4: [-0.5] * 64,
+    }
+    d = str(tmp_path / "knn")
+    spark.createDataFrame(
+        [(k, [float(x) for x in v], 0) for k, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{d}/embeddings.parquet")
+    got = R.q_knn_graph(spark, d).toPandas()
+    got["vec_id"] = got["vec_id"].astype(int)
+    assert 4 not in set(got["vec_id"]) and 4 not in set(
+        got["nbr_id"].astype(int)
+    )
+
+    def q(v):
+        # float32 storage first, then the operator's floor(x * 1e6)
+        import numpy as np
+
+        return [math.floor(float(np.float32(x)) * 1_000_000) for x in v]
+
+    def cos(a, b):
+        da = sum(x * y for x, y in zip(q(a), q(b)))
+        return da / (
+            math.sqrt(sum(x * x for x in q(a)))
+            * math.sqrt(sum(x * x for x in q(b)))
+        )
+
+    for vid in (1, 2, 3):
+        others = [o for o in (1, 2, 3) if o != vid]
+        want = sorted(others, key=lambda o: (-cos(vecs[vid], vecs[o]), o))
+        g = got[got["vec_id"] == vid].sort_values("rank")
+        assert list(g["nbr_id"].astype(int)) == want, vid
+        assert list(g["cos_sim"]) == [
+            round(cos(vecs[vid], vecs[o]), 6) for o in want
+        ]
 
 
 def test_bloom_dedup_semantics(spark, sf001_dir, tmp_path):
