@@ -1028,6 +1028,159 @@ FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
 """
 
 
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: the split is decided by
+    hashing the near-dup CLUSTER representative, not the document — so
+    two near-duplicates can never straddle train and test (the classic
+    eval-contamination bug a plain per-doc hash split ships at web
+    scale; Lee et al. 2022 measure the resulting metric inflation).
+    Docs with no near-dup candidate are their own group.  Buckets:
+    md5('split:' || group) % 10 -> 0-7 train, 8 valid, 9 test.
+
+    100 TB shape: the cluster table is orders smaller than the corpus
+    (docs having >= 1 LSH candidate), so the corpus path is one scan
+    LEFT-joined against the BROADCAST cluster map plus a map-side hash
+    — same realization shape as q_dedup_soft.  The leakage guarantee
+    is structural (same component => same group_rep => same bucket),
+    pinned cross-corpus by test."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    cc = q_dedup_clusters(spark, sf_dir)
+    g = docs.join(F.broadcast(cc), "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("group_rep")
+    )
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('split:',"
+        " cast(group_rep as string))), 1, 8), 16, 10) as bigint) % 10"
+    )
+    return g.select(
+        "doc_id",
+        "group_rep",
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+SPLIT_LEAKAGE_SAFE_SQL = f"""
+WITH RECURSIVE {_CC_CTES}, g AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_rep
+  FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id
+), b AS (
+  SELECT doc_id, group_rep,
+    CAST(('0x' || substr(md5('split:' || CAST(group_rep AS VARCHAR)),
+      1, 8)) AS BIGINT) % 10 AS bucket
+  FROM g
+)
+SELECT doc_id, group_rep,
+  CASE WHEN bucket <= 7 THEN 'train'
+       WHEN bucket = 8 THEN 'valid'
+       ELSE 'test' END AS split
+FROM b
+"""
+
+
+KMV_K = 64
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, graded against the
+    exact count: per source, estimate the number of DISTINCT word-3-gram
+    shingles (the minhash family's feature-space size — the quantity
+    that decides LSH band tuning) from only the k={K} smallest hash
+    values.  est = (k-1) / u_k where u_k is the k-th smallest
+    hash-as-uniform (Bar-Yossef et al. 2002); when a source has fewer
+    than k distinct hashes the sketch degenerates to the exact count.
+
+    Why KMV and not HyperLogLog: HLL's register layout is
+    engine-specific (approx_count_distinct would never cross-engine
+    hash-match); KMV is exactly reproducible — md5-prefix-as-uniform is
+    the same bigint in both engines and (k-1)/u_k is one IEEE divide.
+
+    100 TB shape: distinct (source, gram) is ONE exchange with
+    map-side partial distinct; the per-source bottom-k is realized
+    relationally as a window (deterministic, oracle-checkable) — in
+    production the same sketch is a COMBINABLE bottom-k aggregate
+    (each partition keeps its k smallest, merge keeps the k smallest
+    of the union), so the corpus-wide pass never sorts a full vocab.
+    The exact count exists only to grade the sketch, exactly like
+    bloom_dedup's truth join."""
+    docs = _read(spark, sf_dir, "documents")
+    dg = (
+        docs.select("source", F.expr(_WORDS_EXPR).alias("wd"))
+        .select("source", F.explode(F.expr(_GRAMS_FROM_WD)).alias("gram"))
+        .filter(F.col("gram") != "")
+        .distinct()
+    )
+    # one scan feeds both the hash ranking and the truth count
+    dg = dg.localCheckpoint(eager=False)
+    hashed = dg.select(
+        "source",
+        (
+            F.expr(
+                "cast(conv(substring(md5(gram), 1, 8), 16, 10) as bigint)"
+            ).cast("double")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("u")
+    stats = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_hash"),
+            F.max(F.when(F.col("rn") == KMV_K, F.col("u"))).alias("u_k"),
+        )
+    )
+    exact = dg.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(
+        F.col("n_hash") < KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) / F.col("u_k"))
+    return exact.join(stats, "source").select(
+        "source",
+        "n_exact",
+        F.round(est, 3).alias("n_est"),
+        F.round(
+            F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )
+
+
+q_kmv_distinct.__doc__ = q_kmv_distinct.__doc__.format(K=KMV_K)
+
+KMV_DISTINCT_SQL = f"""
+WITH w AS (
+  SELECT source, {_WORDS_SQL} AS wd FROM documents
+), g0 AS (
+  SELECT source, unnest({_GRAMS_FROM_WD_SQL}) AS gram FROM w
+), dg AS (
+  SELECT DISTINCT source, gram FROM g0 WHERE gram <> ''
+), h AS (
+  SELECT DISTINCT source,
+    CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS DOUBLE)
+      / 4294967296.0 AS u
+  FROM dg
+), r AS (
+  SELECT source, u,
+    row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+  FROM h
+), s AS (
+  SELECT source, COUNT(*) AS n_hash,
+    MAX(CASE WHEN rn = {KMV_K} THEN u END) AS u_k
+  FROM r GROUP BY source
+), e AS (
+  SELECT source, COUNT(*) AS n_exact FROM dg GROUP BY source
+)
+SELECT e.source, e.n_exact,
+  round(CASE WHEN s.n_hash < {KMV_K} THEN CAST(e.n_exact AS DOUBLE)
+        ELSE {float(KMV_K - 1)} / s.u_k END, 3) AS n_est,
+  round(abs(CASE WHEN s.n_hash < {KMV_K} THEN CAST(e.n_exact AS DOUBLE)
+        ELSE {float(KMV_K - 1)} / s.u_k END - e.n_exact)
+        / e.n_exact, 6) AS rel_err
+FROM e JOIN s ON s.source = e.source
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: minhash LSH candidate pairs grouped into
     connected components (graph.py min-label propagation; the oracle is
@@ -1966,6 +2119,27 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ambiguity), so cos is one IEEE sqrt/multiply/divide chain on
     identical inputs; ranking sorts the full-precision double (6dp is
     display rounding only) with ties broken on nbr_id asc."""
+    edges = _emb_knn_edges(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("nbr_id")
+    )
+    return (
+        edges.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "vec_id",
+            "rank",
+            "nbr_id",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+def _emb_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed candidate edges (vec_id, nbr_id, cos) over the
+    quantized embedding corpus — the shared LSH-candidate + exact-int
+    cosine machinery behind q_knn_graph and q_hard_negatives (see
+    q_knn_graph's docstring for the scale/determinism contract)."""
     iv = _km_vectors(spark, sf_dir)
     band_sigs = F.array(
         *[
@@ -2029,7 +2203,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
         ).alias("cos"),
     )
-    edges = scored.select(
+    return scored.select(
         F.col("vec_a").alias("vec_id"),
         F.col("vec_b").alias("nbr_id"),
         "cos",
@@ -2038,19 +2212,6 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_b").alias("vec_id"),
             F.col("vec_a").alias("nbr_id"),
             "cos",
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos"), F.asc("nbr_id")
-    )
-    return (
-        edges.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-        .select(
-            "vec_id",
-            "rank",
-            "nbr_id",
-            F.round("cos", 6).alias("cos_sim"),
         )
     )
 
@@ -2102,6 +2263,95 @@ SELECT vec_id,
   nbr_id, round(cos, 6) AS cos_sim
 FROM edges
 QUALIFY rank <= {KNN_K}
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training: per
+    vector, its best SAME-label neighbor (the positive) and its best
+    DIFFERENT-label neighbor (the hard negative — the close-but-wrong
+    example that carries most of the contrastive gradient; Robinson et
+    al. 2021).  Candidates come from the shared LSH machinery
+    (_emb_knn_edges), so "hard" is by construction: only bucket-mates
+    — already-similar vectors — can be mined, never random negatives.
+
+    100 TB shape: the edge list is bounded (<= 8 bands x 64 cap per
+    node); attaching the two endpoint labels is two equi-joins of that
+    bounded edge list against the (vec_id, label) projection — linear,
+    never quadratic; the best-per-class pick is ONE window over
+    (vec_id, same) then a per-node fold.  Missing classes (a node
+    whose bucket-mates are all same-label, or all different) emit
+    sentinels (-1 id, -2.0 cos — cos lives in [-1, 1]) so the output
+    is NULL-free for cross-engine hashing.  Vectors with no bucket
+    candidates at all are absent, as in knn_graph."""
+    edges = _emb_knn_edges(spark, sf_dir)
+    labels = _read(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lab = (
+        edges.join(labels, "vec_id")
+        .join(
+            labels.select(
+                F.col("vec_id").alias("nbr_id"),
+                F.col("label").alias("nbr_label"),
+            ),
+            "nbr_id",
+        )
+        .select(
+            "vec_id",
+            "nbr_id",
+            "cos",
+            (F.col("nbr_label") == F.col("label")).alias("same"),
+        )
+    )
+    w = Window.partitionBy("vec_id", "same").orderBy(
+        F.desc("cos"), F.asc("nbr_id")
+    )
+    best = lab.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return best.groupBy("vec_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("same"), F.col("nbr_id"))), F.lit(-1)
+        ).alias("pos_id"),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("same"), F.col("cos"))), F.lit(-2.0)
+            ),
+            6,
+        ).alias("pos_cos"),
+        F.coalesce(
+            F.max(F.when(~F.col("same"), F.col("nbr_id"))), F.lit(-1)
+        ).alias("neg_id"),
+        F.round(
+            F.coalesce(
+                F.max(F.when(~F.col("same"), F.col("cos"))), F.lit(-2.0)
+            ),
+            6,
+        ).alias("neg_cos"),
+    )
+
+
+_KNN_EDGES_SQL_BODY = KNN_GRAPH_SQL[
+    KNN_GRAPH_SQL.index("WITH") : KNN_GRAPH_SQL.rindex("SELECT vec_id,")
+]
+
+HARD_NEGATIVES_SQL = f"""
+{_KNN_EDGES_SQL_BODY}, lab AS (
+  SELECT ed.vec_id, ed.nbr_id, ed.cos,
+    (nb.label = me.label) AS same
+  FROM edges ed
+  JOIN embeddings me ON me.vec_id = ed.vec_id
+  JOIN embeddings nb ON nb.vec_id = ed.nbr_id
+), best AS (
+  SELECT * FROM lab
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id, same ORDER BY cos DESC, nbr_id ASC) = 1
+)
+SELECT vec_id,
+  COALESCE(MAX(CASE WHEN same THEN nbr_id END), -1) AS pos_id,
+  round(COALESCE(MAX(CASE WHEN same THEN cos END), -2.0), 6) AS pos_cos,
+  COALESCE(MAX(CASE WHEN NOT same THEN nbr_id END), -1) AS neg_id,
+  round(COALESCE(MAX(CASE WHEN NOT same THEN cos END), -2.0), 6) AS neg_cos
+FROM best GROUP BY vec_id
 """
 
 
@@ -6146,6 +6396,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bloom_dedup": (q_bloom_dedup, BLOOM_DEDUP_SQL),
     "tfidf_keywords": (q_tfidf_keywords, TFIDF_KEYWORDS_SQL),
     "knn_graph": (q_knn_graph, KNN_GRAPH_SQL),
+    "hard_negatives": (q_hard_negatives, HARD_NEGATIVES_SQL),
+    "split_leakage_safe": (q_split_leakage_safe, SPLIT_LEAKAGE_SAFE_SQL),
+    "kmv_distinct": (q_kmv_distinct, KMV_DISTINCT_SQL),
     "table_cells": (q_table_cells, TABLE_CELLS_SQL),
     "table_export": (q_table_export, TABLE_EXPORT_SQL),
     "pad_plan": (q_pad_plan, PAD_PLAN_SQL),

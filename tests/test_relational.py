@@ -72,6 +72,9 @@ SUBSET = [
     "bloom_dedup",
     "tfidf_keywords",
     "knn_graph",
+    "hard_negatives",
+    "split_leakage_safe",
+    "kmv_distinct",
 ]
 
 
@@ -804,6 +807,76 @@ def test_knn_graph_hand_checked(spark, tmp_path):
         assert list(g["cos_sim"]) == [
             round(cos(vecs[vid], vecs[o]), 6) for o in want
         ]
+
+
+def test_hard_negatives_semantics(spark, tmp_path):
+    """Mixed-label bucket clique: each vector's positive is its best
+    same-label bucket-mate and its negative the best different-label
+    one; an all-same-label clique emits the -1/-2.0 sentinels for the
+    missing negative."""
+    rows = [
+        (1, [0.5] * 64, 0),
+        (2, [0.5] * 63 + [0.1], 0),
+        (3, [0.5] * 32 + [0.25] * 32, 1),
+        (4, [0.5] * 16 + [0.25] * 48, 1),
+        # opposite-sign clique, single label: no negatives available
+        (5, [-0.5] * 64, 2),
+        (6, [-0.5] * 63 + [-0.1], 2),
+    ]
+    d = str(tmp_path / "hardneg")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{d}/embeddings.parquet")
+    got = (
+        R.q_hard_negatives(spark, d)
+        .toPandas()
+        .astype({"vec_id": int, "pos_id": int, "neg_id": int})
+        .set_index("vec_id")
+    )
+    assert got.loc[1, "pos_id"] == 2 and got.loc[2, "pos_id"] == 1
+    assert got.loc[3, "pos_id"] == 4 and got.loc[4, "pos_id"] == 3
+    # v1 is closer to v3 (32 flipped dims) than to v4 (48 flipped)
+    assert got.loc[1, "neg_id"] == 3
+    assert got.loc[3, "neg_id"] in (1, 2)
+    assert got.loc[5, "pos_id"] == 6 and got.loc[6, "pos_id"] == 5
+    assert (got.loc[[5, 6], "neg_id"] == -1).all()
+    assert (got.loc[[5, 6], "neg_cos"] == -2.0).all()
+    assert got.loc[1, "pos_cos"] > got.loc[1, "neg_cos"]
+
+
+def test_split_leakage_safe_no_cluster_straddle(spark, sf001_dir):
+    """The leakage guarantee, checked against the actually-built
+    clusters: every near-dup cluster lands entirely inside ONE split,
+    and the doc-level proportions are near 80/10/10."""
+    splits = R.q_split_leakage_safe(spark, sf001_dir).toPandas()
+    cc = R.q_dedup_clusters(spark, sf001_dir).toPandas()
+    merged = cc.merge(splits, on="doc_id")
+    assert (merged.groupby("component")["split"].nunique() == 1).all()
+    frac = splits["split"].value_counts(normalize=True)
+    assert 0.6 < frac.get("train", 0) < 0.95
+    assert frac.get("valid", 0) > 0.02 and frac.get("test", 0) > 0.02
+
+
+def test_kmv_distinct_estimates(spark, sf001_dir, tmp_path):
+    """The sketch must actually estimate (sources here have ~1.4k
+    distinct shingles >> k=64): every estimate within 3 sigma
+    (sigma ~ 1/sqrt(k-2) ~ 12.7%), mean abs error well inside 1 sigma
+    across 20 sources.  A corpus whose vocab is below k must fall back
+    to the EXACT count (rel_err == 0)."""
+    got = R.q_kmv_distinct(spark, sf001_dir).toPandas()
+    assert (got["n_exact"] > 64).all()
+    assert (got["rel_err"] < 0.38).all()
+    assert got["rel_err"].mean() < 0.13
+
+    rows = [(1, "alpha beta gamma delta", "s0", 22)]
+    d = str(tmp_path / "kmv")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    small = R.q_kmv_distinct(spark, d).toPandas()
+    assert (small["rel_err"] == 0.0).all()
+    assert (small["n_est"] == small["n_exact"].astype(float)).all()
 
 
 def test_bloom_dedup_semantics(spark, sf001_dir, tmp_path):
