@@ -1080,6 +1080,78 @@ FROM b
 """
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (nats): the repetitiveness /
+    compressibility heuristic of the Gopher-style filter family —
+    near-zero entropy means a degenerate document (one repeated
+    character / boilerplate run) that a compression-ratio filter would
+    also catch, computed here without a codec so both engines agree
+    bit-for-bit.
+
+    Cross-engine float determinism: a sum of p*ln(p) terms is
+    order-sensitive at the ulp, so BOTH engines fold the per-character
+    terms in THE SAME fixed order — ascending character — via an
+    explicit left fold over the sorted (char, count) list (the same
+    fixed-order-sum discipline as bm25_topk's s0+s1+s2).
+
+    100 TB shape: the (doc_id, char) frequency is a wordcount-shaped
+    exchange whose key space is doc x alphabet (map-side combine
+    collapses each partition to <= |alphabet| rows per doc); the fold
+    is doc-local over <= |alphabet| terms.  ``repetitive`` flags
+    entropy < 1.5 nats — the drop rule a quality pipeline applies."""
+    docs = _read(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sort_array(F.collect_list(F.struct("ch", "c"))).alias("arr"),
+    )
+    neg_h = F.expr(
+        "aggregate(arr, cast(0 as double), (s, x) ->"
+        " s + (cast(x.c as double) / cast(n as double))"
+        " * ln(cast(x.c as double) / cast(n as double)))"
+    )
+    return per.select(
+        "doc_id",
+        F.col("n").alias("n_chars_total"),
+        "n_distinct_chars",
+        F.round(-neg_h, 6).alias("entropy"),
+        (-neg_h < 1.5).alias("repetitive"),
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+  FROM documents
+), cnt AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM ch WHERE ch <> ''
+  GROUP BY doc_id, ch
+), per AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct_chars,
+    list(CAST(c AS DOUBLE) ORDER BY ch) AS cl
+  FROM cnt GROUP BY doc_id
+), folded AS (
+  SELECT doc_id, n, n_distinct_chars,
+    list_reduce(
+      list_prepend(CAST(0 AS DOUBLE),
+        list_transform(cl, x -> (x / n) * ln(x / n))),
+      (s, x) -> s + x) AS neg_h
+  FROM per
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_total,
+  CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+  round(-neg_h, 6) AS entropy,
+  (-neg_h < 1.5) AS repetitive
+FROM folded
+"""
+
+
 KMV_K = 64
 
 
@@ -6399,6 +6471,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "hard_negatives": (q_hard_negatives, HARD_NEGATIVES_SQL),
     "split_leakage_safe": (q_split_leakage_safe, SPLIT_LEAKAGE_SAFE_SQL),
     "kmv_distinct": (q_kmv_distinct, KMV_DISTINCT_SQL),
+    "char_entropy": (q_char_entropy, CHAR_ENTROPY_SQL),
     "table_cells": (q_table_cells, TABLE_CELLS_SQL),
     "table_export": (q_table_export, TABLE_EXPORT_SQL),
     "pad_plan": (q_pad_plan, PAD_PLAN_SQL),

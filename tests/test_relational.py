@@ -75,6 +75,7 @@ SUBSET = [
     "hard_negatives",
     "split_leakage_safe",
     "kmv_distinct",
+    "char_entropy",
 ]
 
 
@@ -877,6 +878,37 @@ def test_kmv_distinct_estimates(spark, sf001_dir, tmp_path):
     small = R.q_kmv_distinct(spark, d).toPandas()
     assert (small["rel_err"] == 0.0).all()
     assert (small["n_est"] == small["n_exact"].astype(float)).all()
+
+
+def test_char_entropy_hand_checked(spark, tmp_path):
+    """Known-entropy docs: a single repeated char has H=0 (flagged
+    repetitive); a uniform 8-char doc has H=ln(8) (above the 1.5-nat
+    flag line); 'ab' has ln(2); values match math.log to 6dp."""
+    import math
+
+    rows = [
+        (1, "aaaaaaaa", "s0", 8),
+        (2, "abcdefgh", "s0", 8),
+        (3, "ab", "s0", 2),
+        (4, "aab", "s0", 3),
+    ]
+    d = str(tmp_path / "ent")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = (
+        R.q_char_entropy(spark, d)
+        .toPandas()
+        .astype({"doc_id": int})
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "entropy"] == 0.0 and bool(got.loc[1, "repetitive"])
+    assert got.loc[2, "entropy"] == round(math.log(8), 6)
+    assert not bool(got.loc[2, "repetitive"])  # ln(8) > 1.5 nats
+    assert got.loc[3, "entropy"] == round(math.log(2), 6)
+    h_aab = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert got.loc[4, "entropy"] == round(h_aab, 6)
+    assert got.loc[2, "n_distinct_chars"] == 8
 
 
 def test_bloom_dedup_semantics(spark, sf001_dir, tmp_path):
