@@ -270,6 +270,135 @@ SELECT user_id, event_id,
 FROM flagged
 """
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: a user reaches
+    step i+1 only with an event of that type STRICTLY AFTER their
+    step-i time (min-ts semantics per step — the standard funnel
+    definition, not mere set-membership).  Steps: {STEPS}.  One row
+    per step: users reached + conversion from the previous step as an
+    exact integer ratio (6dp).
+
+    100 TB shape: each step is a per-user MIN aggregate joined to the
+    previous step's frame — every join and groupBy keys on user_id, so
+    after the first exchange the whole chain stays co-partitioned (no
+    per-user event list is ever collected; a hot user costs one
+    combiner row per partition, not memory).  The final 3-row summary
+    is output-sized."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    steps = []
+    prev = None
+    for step_ix, et in enumerate(_FUNNEL_STEPS):
+        cur = ev.filter(F.col("event_type") == et)
+        if prev is not None:
+            cur = cur.join(
+                prev.select("user_id", F.col("t").alias("t_prev")),
+                "user_id",
+            ).filter(F.col("ts") > F.col("t_prev"))
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+        steps.append((step_ix, et, cur))
+        prev = cur
+    counts = None
+    for step_ix, et, frame in steps:
+        c = frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step_ix + 1).alias("step"),
+            F.lit(et).alias("event_type"),
+            "n_users",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    w = Window.orderBy("step")
+    return counts.select(
+        "step",
+        "event_type",
+        "n_users",
+        F.round(
+            F.col("n_users")
+            / F.coalesce(F.lag("n_users").over(w), F.col("n_users")),
+            6,
+        ).alias("pct_of_prev"),
+    )
+
+
+FUNNEL_STEPS_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+  GROUP BY e.user_id
+), counts AS (
+  SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', COUNT(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(*) FROM s3
+)
+SELECT step, event_type, n_users,
+  round(CAST(n_users AS DOUBLE)
+    / COALESCE(lag(n_users) OVER (ORDER BY step), n_users), 6)
+    AS pct_of_prev
+FROM counts
+"""
+
+q_funnel_steps.__doc__ = q_funnel_steps.__doc__.format(
+    STEPS=" -> ".join(_FUNNEL_STEPS)
+)
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the DAY of their
+    first event (any type); one row per (cohort_day, day_offset) with
+    the count of cohort members active that day — the standard
+    engagement-decay triangle.
+
+    100 TB shape: first-event-per-user is one user-keyed aggregate;
+    attaching the cohort to each event is a co-partitioned user_id
+    join (the cohort frame is one row per user — orders smaller than
+    the event stream); the matrix itself is an output-sized groupBy
+    over (cohort_day, offset) after a per-day DISTINCT that
+    deduplicates multi-event days map-side."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+        .groupBy(F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+), act AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+    datediff('day', f.cohort_day, e.day) AS day_offset
+  FROM ev e JOIN first f ON f.user_id = e.user_id
+)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+  CAST(day_offset AS INT) AS day_offset,
+  COUNT(*) AS n_active
+FROM act GROUP BY cohort_day, day_offset
+"""
+
 
 # -- sorts / topk ----------------------------------------------------------
 
@@ -6472,6 +6601,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "split_leakage_safe": (q_split_leakage_safe, SPLIT_LEAKAGE_SAFE_SQL),
     "kmv_distinct": (q_kmv_distinct, KMV_DISTINCT_SQL),
     "char_entropy": (q_char_entropy, CHAR_ENTROPY_SQL),
+    "funnel_steps": (q_funnel_steps, FUNNEL_STEPS_SQL),
+    "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),
     "table_cells": (q_table_cells, TABLE_CELLS_SQL),
     "table_export": (q_table_export, TABLE_EXPORT_SQL),
     "pad_plan": (q_pad_plan, PAD_PLAN_SQL),

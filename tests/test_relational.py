@@ -76,6 +76,8 @@ SUBSET = [
     "split_leakage_safe",
     "kmv_distinct",
     "char_entropy",
+    "funnel_steps",
+    "retention_cohorts",
 ]
 
 
@@ -909,6 +911,67 @@ def test_char_entropy_hand_checked(spark, tmp_path):
     h_aab = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
     assert got.loc[4, "entropy"] == round(h_aab, 6)
     assert got.loc[2, "n_distinct_chars"] == 8
+
+
+def _write_events(spark, d, rows):
+    spark.createDataFrame(
+        [
+            (i, __import__("datetime").datetime(2024, 1, day, hour), u, et, 0.0, "{}")
+            for i, (day, hour, u, et) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+
+
+def test_funnel_steps_strict_ordering(spark, tmp_path):
+    """The funnel requires each step STRICTLY AFTER the previous one:
+    u1 completes view->click->purchase in order; u2's only purchase
+    precedes their click, so they stall at click; u3 only views."""
+    rows = [
+        (1, 1, 1, "view"), (1, 2, 1, "click"), (1, 3, 1, "purchase"),
+        (2, 1, 2, "view"), (2, 2, 2, "purchase"), (2, 3, 2, "click"),
+        (3, 1, 3, "view"),
+        (3, 2, 4, "click"),  # click with no prior view: never in funnel
+    ]
+    d = str(tmp_path / "funnel")
+    _write_events(spark, d, rows)
+    got = (
+        R.q_funnel_steps(spark, d)
+        .toPandas()
+        .astype({"step": int, "n_users": int})
+        .set_index("step")
+    )
+    assert list(got["n_users"]) == [3, 2, 1]
+    assert got.loc[1, "pct_of_prev"] == 1.0
+    assert got.loc[2, "pct_of_prev"] == round(2 / 3, 6)
+    assert got.loc[3, "pct_of_prev"] == 0.5
+
+
+def test_retention_cohorts_hand_checked(spark, tmp_path):
+    """u1,u2 share cohort Jan-1: both active day 0, only u1 on day 2;
+    u3's cohort is Jan-2, active day 0 only; multi-event days count
+    once."""
+    rows = [
+        (1, 1, 1, "view"), (1, 2, 1, "click"),  # same day: one active row
+        (3, 1, 1, "view"),
+        (1, 5, 2, "view"),
+        (2, 1, 3, "view"),
+    ]
+    d = str(tmp_path / "cohort")
+    _write_events(spark, d, rows)
+    got = R.q_retention_cohorts(spark, d).toPandas()
+    got["day_offset"] = got["day_offset"].astype(int)
+    got["n_active"] = got["n_active"].astype(int)
+    m = {
+        (r.cohort_day, r.day_offset): r.n_active
+        for r in got.itertuples(index=False)
+    }
+    assert m == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
 
 
 def test_bloom_dedup_semantics(spark, sf001_dir, tmp_path):
