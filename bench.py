@@ -556,6 +556,12 @@ def _write_report(result: dict) -> None:
 
 
 MAX_SUMMARY_LINE = 1900
+# The line carries the SLOWEST N queries only (a stable rule, chosen
+# over "drop until it fits" so registry growth never silently changes
+# which queries appear): the slow tail is the actionable signal, the
+# full per-query dict always lands in BENCH/last_run.json +
+# BENCH/BASELINE.md, and `queries_omitted` states the cut explicitly.
+SUMMARY_TOP_QUERIES = 50
 
 
 def build_summary_line(qtimes: dict, total: float, sf_val, scaling) -> str:
@@ -563,19 +569,22 @@ def build_summary_line(qtimes: dict, total: float, sf_val, scaling) -> str:
 
     The driver keeps only the LAST 2000 characters of stdout, so the
     whole line must fit inside that window or the JSON head is cut off
-    (exactly what nulled BENCH_r02's ``parsed``).  With 70 queries the
-    full-precision timing dict alone is ~1.8 KB, so timings are rounded
-    to one decimal (full precision stays in BENCH/last_run.json) and
-    the result is length-guarded: if it still overflows, timings
-    coarsen to integers and then the fastest queries are dropped ten at
-    a time — every scalar contract field always survives.
+    (exactly what nulled BENCH_r02's ``parsed``).  Timings are rounded
+    to one decimal and capped to the SUMMARY_TOP_QUERIES slowest
+    (ties broken by name for determinism); if the line still
+    overflows, timings coarsen to integers and then the fastest of the
+    kept set drop ten at a time — every scalar contract field always
+    survives.
     """
     sc = scaling or {}
+    by_slowest = sorted(qtimes, key=lambda k: (-qtimes[k], k))
+    kept = by_slowest[:SUMMARY_TOP_QUERIES]
     summary = {
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": {k: round(v, 1) for k, v in qtimes.items()},
+        "queries": {k: round(qtimes[k], 1) for k in kept},
+        "queries_omitted": len(qtimes) - len(kept),
         "sf": sf_val,
         "n_queries": len(qtimes),
         "extraction_docs_per_sec": sc.get("thr_local32"),
@@ -586,12 +595,12 @@ def build_summary_line(qtimes: dict, total: float, sf_val, scaling) -> str:
     }
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > MAX_SUMMARY_LINE:
-        summary["queries"] = {k: int(round(v)) for k, v in qtimes.items()}
+        summary["queries"] = {k: int(round(qtimes[k])) for k in kept}
         line = json.dumps(summary, separators=(",", ":"))
         while len(line) > MAX_SUMMARY_LINE and summary["queries"]:
-            keep = sorted(qtimes, key=qtimes.get, reverse=True)
-            keep = keep[: max(len(summary["queries"]) - 10, 0)]
-            summary["queries"] = {k: int(round(qtimes[k])) for k in keep}
+            kept = kept[: max(len(summary["queries"]) - 10, 0)]
+            summary["queries"] = {k: int(round(qtimes[k])) for k in kept}
+            summary["queries_omitted"] = len(qtimes) - len(kept)
             line = json.dumps(summary, separators=(",", ":"))
     return line
 

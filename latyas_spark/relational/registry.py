@@ -270,6 +270,61 @@ SELECT user_id, event_id,
 FROM flagged
 """
 
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the numeric ``k`` field out of
+    the JSON ``props`` payload and profile it per event_type — the
+    schema-on-read pattern for event streams whose properties evolve
+    faster than the table schema (the reference has NO json/map
+    functions at all, SURVEY §2.8; this is the capability extension).
+
+    Spark's get_json_object and DuckDB's json_extract_string both
+    return the raw scalar as text; the cast to int and the min/max/
+    count/exact-ratio mean are integer arithmetic after that —
+    deterministic.  Malformed or missing keys become NULLs and are
+    counted separately rather than dropped silently.
+
+    100 TB shape: JSON parsing is per-row JVM code inside the scan
+    projection (zero shuffle), the profile is one combinable aggregate
+    keyed on event_type (5 groups)."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias(
+                "n_missing"
+            ),
+            F.coalesce(F.min("k"), F.lit(-1)).alias("min_k"),
+            F.coalesce(F.max("k"), F.lit(-1)).alias("max_k"),
+            F.round(
+                F.coalesce(
+                    F.sum("k").cast("double") / F.count("k"), F.lit(-1.0)
+                ),
+                6,
+            ).alias("avg_k"),
+        )
+    )
+
+
+JSON_PROPS_EXTRACT_SQL = """
+WITH k AS (
+  SELECT event_type,
+    CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_missing,
+  COALESCE(MIN(k), -1) AS min_k,
+  COALESCE(MAX(k), -1) AS max_k,
+  round(COALESCE(CAST(SUM(k) AS DOUBLE) / COUNT(k), -1.0), 6) AS avg_k
+FROM k GROUP BY event_type
+"""
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -4565,6 +4620,100 @@ ORDER BY idist ASC, vec_id ASC LIMIT 10
 )
 
 
+def q_outlier_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster distance outliers: z-score of each vector's squared
+    L2 to its learned centroid, within its own k-means cluster — the
+    noise/poison screen a curation pipeline runs after clustering
+    (far-from-every-centroid vectors are mislabeled, corrupted, or
+    adversarial; Carlini et al. 2024 poisoning screens use exactly
+    this shape).  Reuses the ann_kmeans Lloyd chain (same 2 unrolled
+    rounds, same init).
+
+    Cross-engine determinism: distances are exact int64; before the
+    second moment they are RESCALED by div 2^20 so the per-cluster
+    sum of squares stays inside int64 (max idist ~9.2e13 -> dk <=
+    8.8e7, dk^2 <= 7.7e15 — safe for clusters up to ~1e3 members; a
+    production run sizes the shift from the corpus bound or uses a
+    128-bit/decimal accumulator).  Integer sums are order-independent,
+    so mean/var/z are identical IEEE chains on identical inputs in
+    both engines; z is computed against the cluster's own moments and
+    flagged at z > 2.
+
+    100 TB shape: the Lloyd chain is the documented broadcast-assign /
+    combinable-update shape; the moments are ONE combinable aggregate
+    keyed on cid (K rows out); the z pass is a map against the
+    BROADCAST moments table — no corpus shuffle beyond the chain."""
+    e = _km_vectors(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
+    )
+    for _ in range(2):
+        cents = _km_update(_km_assign(e, cents))
+    final = _km_assign(e, cents)
+    d = (
+        final.join(F.broadcast(cents), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.expr(_int_l2_expr("iv", "civ")).alias("idist"),
+        )
+        .withColumn("dk", F.expr("idist div 1048576"))
+    )
+    d = d.localCheckpoint(eager=False)  # moments + z pass share one chain
+    mom = d.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dk").alias("s1"),
+        F.sum(F.expr("dk * dk")).alias("s2"),
+    )
+    m = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - m * m
+    z = F.when(var <= 0, F.lit(0.0)).otherwise(
+        (F.col("dk") - m) / F.sqrt(var)
+    )
+    return d.join(F.broadcast(mom), "cid").select(
+        "vec_id",
+        "cid",
+        "idist",
+        F.round(z, 6).alias("z"),
+        (z > 2.0).alias("is_outlier"),
+    )
+
+
+OUTLIER_EMBEDDINGS_SQL = (
+    _KM_CTE
+    + """,
+d AS (
+  SELECT a3.vec_id, a3.cid,
+    CAST(list_sum(list_transform(list_zip(a3.iv, c2.civ),
+        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS idist
+  FROM a3 JOIN c2 ON c2.cid = a3.cid
+), dk AS (
+  SELECT vec_id, cid, idist, idist // 1048576 AS dk FROM d
+), mom AS (
+  SELECT cid, COUNT(*) AS n,
+    CAST(SUM(dk) AS BIGINT) AS s1, CAST(SUM(dk * dk) AS BIGINT) AS s2
+  FROM dk GROUP BY cid
+)
+SELECT dk.vec_id, dk.cid, dk.idist,
+  round(CASE WHEN (CAST(s2 AS DOUBLE) / n
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) <= 0
+        THEN 0.0
+        ELSE (dk.dk - CAST(s1 AS DOUBLE) / n)
+             / sqrt(CAST(s2 AS DOUBLE) / n
+                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        END, 6) AS z,
+  (CASE WHEN (CAST(s2 AS DOUBLE) / n
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) <= 0
+        THEN 0.0
+        ELSE (dk.dk - CAST(s1 AS DOUBLE) / n)
+             / sqrt(CAST(s2 AS DOUBLE) / n
+                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        END) > 2.0 AS is_outlier
+FROM dk JOIN mom ON mom.cid = dk.cid
+"""
+)
+
+
 _SD_T = 1_250_000_000_000  # within-cluster squared-L2 dup threshold
 
 
@@ -6603,6 +6752,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "char_entropy": (q_char_entropy, CHAR_ENTROPY_SQL),
     "funnel_steps": (q_funnel_steps, FUNNEL_STEPS_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),
+    "outlier_embeddings": (q_outlier_embeddings, OUTLIER_EMBEDDINGS_SQL),
+    "json_props_extract": (q_json_props_extract, JSON_PROPS_EXTRACT_SQL),
     "table_cells": (q_table_cells, TABLE_CELLS_SQL),
     "table_export": (q_table_export, TABLE_EXPORT_SQL),
     "pad_plan": (q_pad_plan, PAD_PLAN_SQL),

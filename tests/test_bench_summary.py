@@ -41,11 +41,21 @@ def test_summary_line_fits_tail_window_pessimistic():
     assert parsed["extraction_docs_per_sec"] == 23456.78
 
 
-def test_summary_line_realistic_keeps_full_query_dict():
-    qtimes = {name: 2.4 for name in queries()}
+def test_summary_line_keeps_slowest_queries_and_states_the_cut():
+    # The kept set is the SLOWEST-N by time (stable rule), the cut is
+    # explicit in queries_omitted, and n_queries stays the full count.
+    qtimes = {name: float(i) for i, name in enumerate(sorted(queries()))}
     line = bench.build_summary_line(qtimes, 321.0, 0.1, _scaling_stub())
     parsed = json.loads(line)
-    assert set(parsed["queries"]) == set(queries())
+    want = set(
+        sorted(qtimes, key=lambda k: (-qtimes[k], k))[
+            : bench.SUMMARY_TOP_QUERIES
+        ]
+    )
+    assert set(parsed["queries"]) == want
+    assert parsed["queries_omitted"] == len(queries()) - len(want)
+    assert parsed["n_queries"] == len(queries())
+    assert len(line) + 2 <= DRIVER_TAIL_CHARS
 
 
 def test_summary_line_degrades_rather_than_overflows():

@@ -78,6 +78,8 @@ SUBSET = [
     "char_entropy",
     "funnel_steps",
     "retention_cohorts",
+    "outlier_embeddings",
+    "json_props_extract",
 ]
 
 
@@ -972,6 +974,62 @@ def test_retention_cohorts_hand_checked(spark, tmp_path):
         ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+def test_outlier_embeddings_flags_far_member(spark, tmp_path):
+    """A tight cluster plus one far member of the same cluster: the
+    far member carries the cluster's max z and the outlier flag; tight
+    members don't flag; singleton clusters have var=0 -> z=0."""
+    vecs = {0: [0.5] * 64}
+    for j in range(1, 8):  # far-apart seeds -> singleton clusters
+        vecs[j] = [-0.9 + 0.05 * j] * 64
+    for i in range(8, 16):  # tight members of cluster 0
+        vecs[i] = [0.5 + 0.001 * (i - 8)] * 64
+    vecs[16] = [0.42] * 64  # same cluster, much farther out
+    d = str(tmp_path / "outl")
+    spark.createDataFrame(
+        [(k, [float(x) for x in v], 0) for k, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{d}/embeddings.parquet")
+    got = (
+        R.q_outlier_embeddings(spark, d)
+        .toPandas()
+        .astype({"vec_id": int, "cid": int})
+        .set_index("vec_id")
+    )
+    c0 = got.loc[got["cid"] == got.loc[16, "cid"]]
+    assert bool(got.loc[16, "is_outlier"])
+    assert got.loc[16, "z"] == c0["z"].max()
+    tight = [i for i in range(8, 16) if i in c0.index]
+    assert tight and not got.loc[tight, "is_outlier"].any()
+    singles = got.loc[got.index.isin(range(1, 8))]
+    assert (singles["z"] == 0.0).all()
+    assert not singles["is_outlier"].any()
+
+
+def test_json_props_extract_null_handling(spark, tmp_path):
+    """Missing keys and malformed JSON count as n_missing, never
+    silently dropped; stats come from the present values only."""
+    rows = [
+        (0, __import__("datetime").datetime(2024, 1, 1), 1, "view", 0.0, '{"k": 10}'),
+        (1, __import__("datetime").datetime(2024, 1, 1), 1, "view", 0.0, '{"k": 20}'),
+        (2, __import__("datetime").datetime(2024, 1, 1), 1, "view", 0.0, '{"x": 5}'),
+        (3, __import__("datetime").datetime(2024, 1, 1), 1, "click", 0.0, "not json"),
+    ]
+    d = str(tmp_path / "json")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    got = R.q_json_props_extract(spark, d).toPandas().set_index("event_type")
+    assert int(got.loc["view", "n_events"]) == 3
+    assert int(got.loc["view", "n_missing"]) == 1
+    assert int(got.loc["view", "min_k"]) == 10
+    assert int(got.loc["view", "max_k"]) == 20
+    assert got.loc["view", "avg_k"] == 15.0
+    assert int(got.loc["click", "n_missing"]) == 1
+    assert got.loc["click", "avg_k"] == -1.0
 
 
 def test_bloom_dedup_semantics(spark, sf001_dir, tmp_path):
