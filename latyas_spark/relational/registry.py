@@ -1212,6 +1212,100 @@ FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
 """
 
 
+PMI_MIN_COUNT = 5
+PMI_TOPK = 25
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} adjacent word pairs by pointwise mutual information —
+    the co-occurrence statistic word2vec-family embedding training
+    (SGNS is implicit PMI factorization, Levy & Goldberg 2014) and
+    collocation extraction both consume.  PMI = ln(p(a,b) / p(a)p(b))
+    with p(a,b) from the bigram distribution and p(a), p(b) from the
+    unigram distribution; pairs below {MIN} occurrences are dropped
+    (the standard min-support cut — rare-pair PMI is noise).
+
+    Cross-engine determinism: counts are exact ints; the ratio is
+    assembled as ONE double expression with identical association in
+    both engines ((c_ab*N_u)*N_u / ((N_b*c_a)*c_b)), so a single libm
+    ln sees bit-identical input (the bm25_topk discipline); ties break
+    on (word_a, word_b).
+
+    100 TB shape: bigram and unigram counts are wordcount-shaped
+    combinable aggregates; the pair-side joins attach vocab-sized
+    count tables (AQE broadcasts them when small, shuffles on the word
+    key when not — either is linear); the global top-k is
+    TakeOrderedAndProject, never a full sort."""
+    docs = _read(spark, sf_dir, "documents")
+    wd = docs.select(F.expr(_WORDS_EXPR).alias("wd"))
+    big = wd.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(wd) >= 2 THEN"
+                " transform(sequence(0, size(wd) - 2),"
+                " i -> struct(wd[i] as a, wd[i+1] as b))"
+                " ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    uni = wd.select(F.explode("wd").alias("w"))
+    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nb = big.agg(F.count(F.lit(1)).alias("n_b"))
+    nu = uni.agg(F.count(F.lit(1)).alias("n_u"))
+    j = (
+        cab.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(cu.select(F.col("w").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(cu.select(F.col("w").alias("b"), F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+    )
+    pmi = F.log(
+        (F.col("c_ab").cast("double") * F.col("n_u") * F.col("n_u"))
+        / (F.col("n_b").cast("double") * F.col("c_a") * F.col("c_b"))
+    )
+    return (
+        j.select(
+            F.col("a").alias("word_a"),
+            F.col("b").alias("word_b"),
+            "c_ab",
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("word_a"), F.asc("word_b"))
+        .limit(PMI_TOPK)
+    )
+
+
+q_pmi_pairs.__doc__ = q_pmi_pairs.__doc__.format(
+    K=PMI_TOPK, MIN=PMI_MIN_COUNT
+)
+
+PMI_PAIRS_SQL = f"""
+WITH w AS (
+  SELECT {_WORDS_SQL} AS wd FROM documents
+), big AS (
+  SELECT wd[i] AS a, wd[i+1] AS b
+  FROM w, unnest(CASE WHEN len(wd) >= 2
+                 THEN range(1, len(wd)) ELSE [] END) AS t(i)
+), uni AS (
+  SELECT unnest(wd) AS w FROM w
+), cab AS (
+  SELECT a, b, COUNT(*) AS c_ab FROM big GROUP BY a, b
+), cu AS (
+  SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+), nb AS (SELECT COUNT(*) AS n_b FROM big),
+nu AS (SELECT COUNT(*) AS n_u FROM uni)
+SELECT cab.a AS word_a, cab.b AS word_b, cab.c_ab,
+  round(ln((CAST(cab.c_ab AS DOUBLE) * nu.n_u * nu.n_u)
+        / (CAST(nb.n_b AS DOUBLE) * ca.c * cb.c)), 6) AS pmi
+FROM cab
+JOIN cu ca ON ca.w = cab.a
+JOIN cu cb ON cb.w = cab.b, nb, nu
+WHERE cab.c_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, word_a ASC, word_b ASC LIMIT {PMI_TOPK}
+"""
+
+
 def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/valid/test split: the split is decided by
     hashing the near-dup CLUSTER representative, not the document — so
@@ -4714,6 +4808,73 @@ FROM dk JOIN mom ON mom.cid = dk.cid
 )
 
 
+CORESET_PER_CLUSTER = 16
+
+
+def q_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced coreset selection: keep the {Q} members CLOSEST
+    to each learned centroid — the diversity-preserving downsample
+    (every region of embedding space keeps representation, unlike a
+    uniform sample that follows density; the cluster-quota shape of
+    DSIR/coreset curation).  Complements q_outlier_embeddings (which
+    flags the far tail) and q_semdedup (which drops near-equal pairs):
+    this keeps a fixed per-cluster budget of the most central members.
+
+    Cross-engine determinism: distances are exact int64 (the shared
+    _int_l2_expr metric); the per-cluster rank orders (idist ASC,
+    vec_id ASC).
+
+    100 TB shape: the Lloyd chain is the broadcast-assign /
+    combinable-update shape; ranking is a window over each cluster's
+    own members.  A skewed giant cluster makes that window's sort its
+    partition's cost — at real scale the quota pick per cluster is a
+    combinable bottom-k aggregate (the kmv_distinct note), same
+    result, no per-cluster sort."""
+    e = _km_vectors(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
+    )
+    for _ in range(2):
+        cents = _km_update(_km_assign(e, cents))
+    final = _km_assign(e, cents)
+    d = final.join(F.broadcast(cents), "cid").select(
+        "vec_id",
+        "cid",
+        F.expr(_int_l2_expr("iv", "civ")).alias("idist"),
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.asc("idist"), F.asc("vec_id")
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CORESET_PER_CLUSTER)
+        .select("cid", "rank", "vec_id", "idist")
+    )
+
+
+q_coreset_sample.__doc__ = q_coreset_sample.__doc__.format(
+    Q=CORESET_PER_CLUSTER
+)
+
+CORESET_SAMPLE_SQL = (
+    _KM_CTE
+    + f""",
+d AS (
+  SELECT a3.vec_id, a3.cid,
+    CAST(list_sum(list_transform(list_zip(a3.iv, c2.civ),
+        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS idist
+  FROM a3 JOIN c2 ON c2.cid = a3.cid
+)
+SELECT cid,
+  CAST(row_number() OVER (
+    PARTITION BY cid ORDER BY idist ASC, vec_id ASC) AS INT) AS rank,
+  vec_id, idist
+FROM d
+QUALIFY rank <= {CORESET_PER_CLUSTER}
+"""
+)
+
+
 _SD_T = 1_250_000_000_000  # within-cluster squared-L2 dup threshold
 
 
@@ -6754,6 +6915,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),
     "outlier_embeddings": (q_outlier_embeddings, OUTLIER_EMBEDDINGS_SQL),
     "json_props_extract": (q_json_props_extract, JSON_PROPS_EXTRACT_SQL),
+    "pmi_pairs": (q_pmi_pairs, PMI_PAIRS_SQL),
+    "coreset_sample": (q_coreset_sample, CORESET_SAMPLE_SQL),
     "table_cells": (q_table_cells, TABLE_CELLS_SQL),
     "table_export": (q_table_export, TABLE_EXPORT_SQL),
     "pad_plan": (q_pad_plan, PAD_PLAN_SQL),

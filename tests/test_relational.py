@@ -80,6 +80,8 @@ SUBSET = [
     "retention_cohorts",
     "outlier_embeddings",
     "json_props_extract",
+    "pmi_pairs",
+    "coreset_sample",
 ]
 
 
@@ -1030,6 +1032,55 @@ def test_json_props_extract_null_handling(spark, tmp_path):
     assert got.loc["view", "avg_k"] == 15.0
     assert int(got.loc["click", "n_missing"]) == 1
     assert got.loc["click", "avg_k"] == -1.0
+
+
+def test_pmi_pairs_hand_checked(spark, tmp_path):
+    """Hand-computed PMI on a crafted corpus: the exclusive bigram
+    (new, york) outranks the shared-left-word (the, cat); a pair below
+    the min-support cut is absent no matter how high its PMI."""
+    import math
+
+    rows = (
+        [(i, "new york") for i in range(6)]
+        + [(10 + i, "the cat sat") for i in range(6)]
+        + [(20 + i, "the dog sat") for i in range(6)]
+        + [(30 + i, "rare gem") for i in range(4)]  # c_ab=4 < 5: cut
+    )
+    d = str(tmp_path / "pmi")
+    spark.createDataFrame(
+        [(i, t, "s0", len(t)) for i, t in rows],
+        "doc_id long, text string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = R.q_pmi_pairs(spark, d).toPandas()
+    pairs = list(zip(got["word_a"], got["word_b"]))
+    assert ("rare", "gem") not in pairs
+    assert pairs[0] == ("new", "york")
+    n_u, n_b = 56, 34
+    want = math.log((6 * n_u * n_u) / (n_b * 6 * 6))
+    assert got.iloc[0]["pmi"] == round(want, 6)
+    the_cat = got[(got["word_a"] == "the") & (got["word_b"] == "cat")]
+    assert the_cat.iloc[0]["pmi"] == round(
+        math.log((6 * n_u * n_u) / (n_b * 12 * 6)), 6
+    )
+
+
+def test_coreset_sample_consistent_with_outlier_distances(spark, sf001_dir):
+    """Cross-operator pin: coreset_sample's kept set per cluster must
+    be exactly the 16 smallest idist (ties by vec_id) in
+    outlier_embeddings' full per-member distance table — both run the
+    identical Lloyd chain, so any drift is a real bug."""
+    kept = R.q_coreset_sample(spark, sf001_dir).toPandas()
+    full = R.q_outlier_embeddings(spark, sf001_dir).toPandas()
+    for cid, g in full.groupby("cid"):
+        want = list(
+            g.sort_values(["idist", "vec_id"]).head(16)["vec_id"]
+        )
+        got = list(
+            kept[kept["cid"] == cid].sort_values("rank")["vec_id"]
+        )
+        assert got == want, cid
+    assert (kept.groupby("cid")["rank"].max() <= 16).all()
+    assert (kept.groupby("cid")["rank"].min() == 1).all()
 
 
 def test_bloom_dedup_semantics(spark, sf001_dir, tmp_path):
