@@ -6855,6 +6855,192 @@ WHERE a.alloc_tokens // a.total_tokens
 """
 
 
+# -- as-of join (event-time point-in-time lookup) ---------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — the point-in-time lookup Spark has no built-in
+    operator for: attach to EVERY event the same user's most recent
+    ``purchase`` event STRICTLY BEFORE it (its id, its value, and the
+    gap in microseconds; -1 sentinels when no prior purchase exists).
+    Strictly-before means a purchase never matches itself.  Anchor
+    rows are first collapsed per (user_id, ts) to the max event_id so
+    exact-timestamp ties are deterministic on both engines.
+
+    100 TB shape: the distributed as-of is the tagged-union +
+    carry-forward window — union probes (side 0) with anchors (side
+    1), hash-partition by user, sort each user's timeline ONCE by
+    (ts, side), and ``last(..., ignorenulls)`` carries the latest
+    anchor forward into probe rows.  ONE shuffle total, linear in
+    |events| + |anchors| per key — contrast the naive theta-join
+    (``e.ts > a.ts``) whose per-key cost is quadratic.  A mega-user is
+    one sorted run, not a cross product.  Ordering anchors AFTER
+    probes at equal ts implements the strict inequality without a
+    second pass.  The oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` —
+    an independent engine's implementation of the same semantics, not
+    a mirrored query plan."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    anchors = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("anchor_id"),
+            F.max_by("value", "event_id").alias("anchor_value"),
+        )
+    )
+    probe = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("side"),
+        "event_id",
+        "event_type",
+        F.lit(None).cast("long").alias("anchor_id"),
+        F.lit(None).cast("double").alias("anchor_value"),
+        F.lit(None).cast("timestamp").alias("anchor_ts"),
+    )
+    arow = anchors.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        "anchor_id",
+        "anchor_value",
+        F.col("ts").alias("anchor_ts"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = probe.unionByName(arow).select(
+        "k",
+        "t",
+        "side",
+        "event_id",
+        "event_type",
+        F.last("anchor_id", ignorenulls=True).over(w).alias("a_id"),
+        F.last("anchor_value", ignorenulls=True).over(w).alias("a_val"),
+        F.last("anchor_ts", ignorenulls=True).over(w).alias("a_ts"),
+    )
+    return u.filter(F.col("side") == 0).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "event_type",
+        F.coalesce("a_id", F.lit(-1)).alias("prev_purchase_id"),
+        F.round(F.coalesce("a_val", F.lit(0.0)), 6).alias("prev_purchase_value"),
+        F.coalesce(
+            # timestampdiff (not unix_micros) because the parquet column is
+            # TIMESTAMP_NTZ; the diff is timezone-free either way.
+            F.expr("timestampdiff(MICROSECOND, a_ts, t)"),
+            F.lit(-1),
+        ).alias("gap_us"),
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH a AS (
+  SELECT user_id, ts,
+         max(event_id) AS anchor_id,
+         arg_max(value, event_id) AS anchor_value
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT e.event_id,
+       e.user_id,
+       e.event_type,
+       COALESCE(a.anchor_id, -1) AS prev_purchase_id,
+       round(COALESCE(a.anchor_value, 0.0), 6) AS prev_purchase_value,
+       COALESCE(epoch_us(e.ts) - epoch_us(a.ts), -1) AS gap_us
+FROM events e
+ASOF LEFT JOIN a
+  ON e.user_id = a.user_id AND e.ts > a.ts
+"""
+
+
+# -- embedding scalar quantization (int8) ------------------------------------
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension symmetric int8 scalar quantization of the
+    embedding corpus — the standard 4x index-shrink step before an ANN
+    index is built — plus its fidelity report: one row per dimension
+    with the learned scale (max-|v|), reconstruction MSE (scaled e6),
+    and the exact count of saturated codes (|q| = 127).
+
+    Quantization is defined engine-neutrally: q = clamp(floor(v /
+    scale * 127 + 0.5), -127, 127) — ``floor(x + 0.5)`` instead of any
+    library ``round`` so both engines execute the same exact IEEE op
+    sequence (float32 -> double casts are exact; /,*,floor are
+    deterministic; the only summation, the MSE mean, is reported at a
+    precision 1e6x coarser than double accumulation-order noise).
+    Zero-variance dims are guarded with greatest(scale, 1e-30).
+
+    100 TB shape: posexplode is map-side (no shuffle); pass 1 reduces
+    to ndim scale rows (combiner-friendly, 64-group shuffle); the
+    scales broadcast-join back onto the exploded stream (no second
+    corpus shuffle) and pass 2 reduces to the same ndim rows.  Nothing
+    ever materializes per-vector state; output is ndim rows regardless
+    of corpus size."""
+    emb = _read(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "vf")
+    ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
+    scales = e.groupBy("dim").agg(
+        F.greatest(F.max(F.abs("v")), F.lit(1e-30)).alias("scale")
+    )
+    q = (
+        e.join(F.broadcast(scales), "dim")
+        .withColumn(
+            "qc",
+            F.least(
+                F.greatest(
+                    F.floor(F.col("v") / F.col("scale") * 127 + 0.5),
+                    F.lit(-127),
+                ),
+                F.lit(127),
+            ),
+        )
+        .withColumn("err", F.col("v") - F.col("qc") * F.col("scale") / 127)
+    )
+    return q.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("scale"), 9).alias("scale"),
+        F.round(F.avg(F.col("err") * F.col("err")) * 1e6, 6).alias("mse_e6"),
+        F.sum(
+            F.when(F.abs("qc") == 127, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_saturated"),
+    )
+
+
+EMBED_QUANTIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, t.dim,
+         CAST(embedding[t.dim + 1] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(0, len(embedding))) AS t(dim)
+), s AS (
+  SELECT dim, greatest(max(abs(v)), 1e-30) AS scale
+  FROM e GROUP BY dim
+), q AS (
+  SELECT e.dim, e.v, s.scale,
+         least(greatest(floor(e.v / s.scale * 127 + 0.5), -127), 127) AS qc
+  FROM e JOIN s USING (dim)
+)
+SELECT dim,
+       count(*) AS n,
+       round(max(scale), 9) AS scale,
+       round(avg((v - qc * scale / 127) * (v - qc * scale / 127)) * 1e6, 6)
+         AS mse_e6,
+       CAST(SUM(CASE WHEN abs(qc) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_saturated
+FROM q
+GROUP BY dim
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -6950,6 +7136,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_soft": (q_dedup_soft, DEDUP_SOFT_SQL),
     "header_footer_strip": (q_header_footer_strip, HEADER_FOOTER_SQL),
     "dehyphenate": (q_dehyphenate, DEHYPHENATE_SQL),
+    "asof_join": (q_asof_join, ASOF_JOIN_SQL),
+    "embed_quantize": (q_embed_quantize, EMBED_QUANTIZE_SQL),
 }
 
 

@@ -82,6 +82,8 @@ SUBSET = [
     "json_props_extract",
     "pmi_pairs",
     "coreset_sample",
+    "asof_join",
+    "embed_quantize",
 ]
 
 
@@ -1333,3 +1335,40 @@ def test_dehyphenate_repairs_wraps(spark, sf001_dir, tmp_path):
     assert row["n_hyphen_joins"] == 2
     assert row["n_breaks"] == 3
     assert bool(row["roundtrip_ok"]) is True
+
+
+def test_asof_join_strictness_invariants(spark, sf001_dir):
+    """Independent pins of the as-of semantics (not the oracle mirror):
+    strictly-before means a purchase never matches itself (gap 0 is
+    impossible), every match looks backward in time (gap > 0), every
+    user's EARLIEST purchase has no prior purchase (-1 sentinel), and
+    unmatched rows carry all three sentinels coherently."""
+    out = R.q_asof_join(spark, sf001_dir).toPandas()
+    ev = pd.read_parquet(f"{sf001_dir}/events.parquet")
+    assert len(out) == len(ev)
+    matched = out[out.prev_purchase_id >= 0]
+    assert (matched.gap_us > 0).all()
+    unmatched = out[out.prev_purchase_id < 0]
+    assert (unmatched.gap_us == -1).all()
+    assert (unmatched.prev_purchase_value == 0.0).all()
+    pur = ev[ev.event_type == "purchase"]
+    first_purchase = pur.loc[pur.groupby("user_id").ts.idxmin(), "event_id"]
+    got_first = out.set_index("event_id").loc[first_purchase]
+    assert (got_first.prev_purchase_id == -1).all()
+
+
+def test_embed_quantize_bounds(spark, sf001_dir):
+    """Independent pins of int8 scalar quantization: one row per dim,
+    the max-|v| element always saturates (it maps exactly to +/-127),
+    and the reconstruction MSE respects the half-step bound
+    (scale/254)^2 -- clamping never adds error because |v| <= scale by
+    construction."""
+    out = R.q_embed_quantize(spark, sf001_dir).toPandas()
+    emb = pd.read_parquet(f"{sf001_dir}/embeddings.parquet")
+    ndim = len(emb.embedding.iloc[0])
+    assert len(out) == ndim
+    assert (out.n == len(emb)).all()
+    assert (out.n_saturated >= 1).all()
+    assert (out.mse_e6 >= 0).all()
+    bound_e6 = (out.scale / 254.0) ** 2 * 1e6
+    assert (out.mse_e6 <= bound_e6 + 1e-9).all()
