@@ -7041,6 +7041,306 @@ GROUP BY dim
 """
 
 
+# -- PageRank over the kNN graph ----------------------------------------------
+
+PR_SCALE = 1_000_000_000  # fixed-point rank unit (1.0 == 1e9)
+PR_BASE = 150_000_000  # teleport mass: 0.15 * PR_SCALE, exact
+PR_ITERS = 3
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the embedding kNN graph ({I} unrolled power
+    iterations, damping 0.85): the centrality signal graph-based data
+    curation ranks documents by (well-connected cluster cores score
+    high, isolated outliers score low — the complement of
+    ``outlier_embeddings``' distance flag).
+
+    Cross-engine determinism is the whole design: ranks live in
+    INTEGER fixed point (PR_SCALE = 1e9 per unit).  Each iteration's
+    edge contribution is ``rank_fp DIV out_degree`` (integer division)
+    and the damped update is ``PR_BASE + (17 * msum) DIV 20``
+    (0.85 = 17/20 exactly), so every per-node update is a sum of
+    INTEGERS — order-independent, no float-fold ambiguity anywhere,
+    hash-identical across Spark and DuckDB by construction.  The cost
+    is a deterministic sub-ulp truncation bias per iteration (bounded
+    by out_degree/PR_SCALE ~ 1e-9 per node), invisible at 6dp.
+
+    Nodes with no LSH-candidate neighbors have zero out-degree; their
+    mass is absorbed by the teleport term rather than redistributed
+    (the common large-scale simplification — dangling redistribution
+    would add an all-nodes broadcast term per iteration for no ranking
+    change at damping 0.85).
+
+    100 TB shape: classic Pregel-on-DataFrames.  The edge list (top-{K}
+    per node, so |E| <= {K}|V|) is built once, out-degree attached, and
+    lazily checkpointed; each iteration is one co-partitioned join on
+    src (ranks and edges both hash-partition on the node key — AQE
+    reuses the exchange) plus one combinable SUM on dst.  {I}
+    iterations = {I} bounded shuffles, no driver-side loop state beyond
+    the unrolled plan."""
+    g = q_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst")
+    )
+    deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ed = g.join(deg, "src").localCheckpoint(eager=False)
+    nodes = _read(spark, sf_dir, "embeddings").select("vec_id")
+    r = nodes.select(
+        "vec_id", F.lit(PR_SCALE).cast("bigint").alias("rf")
+    )
+    for _ in range(PR_ITERS):
+        contrib = ed.join(
+            r.withColumnRenamed("vec_id", "src"), "src"
+        ).select("dst", F.expr("rf DIV od").alias("c"))
+        msum = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
+        r = nodes.join(
+            msum.withColumnRenamed("dst", "vec_id"), "vec_id", "left"
+        ).select(
+            "vec_id",
+            (
+                F.lit(PR_BASE)
+                + F.expr("(17 * coalesce(m, cast(0 as bigint))) DIV 20")
+            )
+            .cast("bigint")
+            .alias("rf"),
+        )
+    return r.select(
+        "vec_id",
+        F.col("rf").alias("pr_fp"),
+        F.round(F.col("rf") / F.lit(float(PR_SCALE)), 6).alias("pagerank"),
+    )
+
+
+q_pagerank.__doc__ = q_pagerank.__doc__.format(I=PR_ITERS, K=KNN_K)
+
+
+def _pagerank_sql() -> str:
+    """Unrolled fixed-point PageRank: same integer recurrence as
+    q_pagerank, with the kNN edge list inlined from KNN_GRAPH_SQL."""
+    it_cte = """
+s{n} AS (
+  SELECT ed.dst AS vec_id, CAST(SUM(r{p}.rf // ed.od) AS BIGINT) AS m
+  FROM ed JOIN r{p} ON r{p}.vec_id = ed.src GROUP BY ed.dst
+), r{n} AS (
+  SELECT n.vec_id,
+    CAST({base} + (17 * COALESCE(s{n}.m, 0)) // 20 AS BIGINT) AS rf
+  FROM n LEFT JOIN s{n} USING (vec_id)
+)"""
+    iters = ",".join(
+        it_cte.format(n=i, p=i - 1, base=PR_BASE)
+        for i in range(1, PR_ITERS + 1)
+    )
+    return f"""
+WITH g AS ({KNN_GRAPH_SQL}),
+edges0 AS (SELECT vec_id AS src, nbr_id AS dst FROM g),
+deg AS (SELECT src, COUNT(*) AS od FROM edges0 GROUP BY src),
+ed AS (SELECT edges0.src, edges0.dst, deg.od
+       FROM edges0 JOIN deg USING (src)),
+n AS (SELECT vec_id FROM embeddings),
+r0 AS (SELECT vec_id, CAST({PR_SCALE} AS BIGINT) AS rf FROM n),
+{iters}
+SELECT vec_id, rf AS pr_fp,
+       round(rf / {float(PR_SCALE)}, 6) AS pagerank
+FROM r{PR_ITERS}
+"""
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
+# -- Per-language length quantiles --------------------------------------------
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language EXACT length quartiles (chars + tokens): the
+    distribution report behind every length-filter threshold choice
+    (Gopher's per-language min/max lengths are set from exactly this
+    table, Rae et al. 2021).
+
+    Cross-engine determinism: quartile fractions 0.25/0.5/0.75 are
+    dyadic, so h = q*(n-1) and the linear interpolation
+    lower + frac*(upper-lower) over BIGINT order statistics are all
+    EXACTLY representable doubles — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` agree bit-for-bit regardless of formula
+    association (this is why the report stops at p75: p95's 0.95 is
+    not dyadic and would be 1-ulp-fragile).
+
+    100 TB shape: exact percentile materializes the per-group value
+    multiset, which is fine here because groups are LANGUAGES (tens,
+    each a bounded counting-sort histogram over int lengths) — for
+    high-cardinality grouping keys the scale path is
+    ``percentile_approx`` (t-digest, combinable); this query is the
+    calibration-time exact twin."""
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.col("n_chars").cast("bigint").alias("nc"),
+        F.size(F.expr(_WORDS_EXPR)).cast("bigint").alias("nt"),
+    )
+    qc = "percentile(nc, CAST({p} AS DOUBLE))"
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("nc").alias("chars_min"),
+            F.expr(qc.format(p=0.25)).alias("chars_p25"),
+            F.expr(qc.format(p=0.5)).alias("chars_p50"),
+            F.expr(qc.format(p=0.75)).alias("chars_p75"),
+            F.max("nc").alias("chars_max"),
+            F.expr("percentile(nt, CAST(0.5 AS DOUBLE))").alias(
+                "toks_p50"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+LENGTH_QUANTILES_SQL = f"""
+WITH d AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS nc,
+    CAST(len({_WORDS_SQL}) AS BIGINT) AS nt
+  FROM documents
+)
+SELECT lang,
+  COUNT(*) AS n_docs,
+  MIN(nc) AS chars_min,
+  quantile_cont(nc, 0.25) AS chars_p25,
+  quantile_cont(nc, 0.5) AS chars_p50,
+  quantile_cont(nc, 0.75) AS chars_p75,
+  MAX(nc) AS chars_max,
+  quantile_cont(nt, 0.5) AS toks_p50
+FROM d
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# -- DSIR importance weights ---------------------------------------------------
+
+DSIR_B = 4096  # hashed feature buckets
+DSIR_TARGET_LANG = "en"  # the "target distribution" sample
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): per-document importance weight log(p_target/p_raw) under
+    hashed-unigram bag-of-words language models — the standard
+    train-like-the-target selection signal (here target = the
+    ``{LANG}`` sub-corpus, raw = everything), with add-1 smoothing
+    over {B} md5-hashed buckets.
+
+    Cross-engine determinism (the pmi_pairs/bm25 discipline, plus a
+    fixed-point sum): each bucket's log-ratio sees ONE double division
+    of two exact integer products — ((ct+1)*(N_raw+B)) /
+    ((cr+1)*(N_tgt+B)), both < 2^53 at any sf this sandbox runs — so
+    ln() gets a bit-identical argument in both engines; the per-bucket
+    log is then rounded to MICRO-units and cast to BIGINT, making the
+    per-doc weight a sum of integers (order-independent).  At true
+    100 TB token counts the int products would exceed 2^53; the
+    production variant keeps per-term double logs (losing only
+    hash-exactness of the last decimal, not correctness).
+
+    100 TB shape: two wordcount aggregates (bucket-keyed, combinable,
+    {B} groups — tiny), a {B}-row weight table that AQE BROADCASTS
+    onto the per-doc bucket counts, then one doc_id-keyed sum.  No
+    self-joins, no corpus-sized shuffle beyond the two wordcounts;
+    this is why DSIR runs at CommonCrawl scale where
+    classifier-per-doc selection does not."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(_WORDS_EXPR)).alias("w"),
+    ).withColumn(
+        "h",
+        F.expr(
+            f"cast(conv(substring(md5(w), 1, 4), 16, 10) as int)"
+            f" % {DSIR_B}"
+        ),
+    )
+    tgt = toks.filter(F.col("lang") == DSIR_TARGET_LANG)
+    ct = tgt.groupBy("h").agg(F.count(F.lit(1)).alias("ct"))
+    cr = toks.groupBy("h").agg(F.count(F.lit(1)).alias("cr"))
+    nt = tgt.agg(F.count(F.lit(1)).alias("n_t"))
+    nr = toks.agg(F.count(F.lit(1)).alias("n_r"))
+    lam = (
+        cr.join(ct, "h", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "h",
+            F.expr(
+                f"cast(round(ln("
+                f"cast((coalesce(ct, 0) + 1) * (n_r + {DSIR_B}) as double)"
+                f" / cast((cr + 1) * (n_t + {DSIR_B}) as double)"
+                f") * 1e6) as bigint)"
+            ).alias("lw"),
+        )
+    )
+    dk = toks.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("k"))
+    wsum = (
+        dk.join(F.broadcast(lam), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("k") * F.col("lw")).alias("w_fp"),
+            F.sum("k").alias("n_toks"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(wsum, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_toks", F.lit(0)).cast("bigint").alias("n_toks"),
+            F.coalesce("w_fp", F.lit(0)).cast("bigint").alias("weight_fp"),
+            F.round(
+                F.coalesce("w_fp", F.lit(0)) / F.lit(1e6), 6
+            ).alias("dsir_weight"),
+        )
+    )
+
+
+q_dsir_weights.__doc__ = q_dsir_weights.__doc__.format(
+    LANG=DSIR_TARGET_LANG, B=DSIR_B
+)
+
+DSIR_WEIGHTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(w), 1, 4)) AS INT) % {DSIR_B} AS h
+  FROM (SELECT doc_id, lang, unnest({_WORDS_SQL}) AS w FROM documents)
+), ct AS (
+  SELECT h, COUNT(*) AS ct FROM toks
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY h
+), cr AS (
+  SELECT h, COUNT(*) AS cr FROM toks GROUP BY h
+), nt AS (
+  SELECT COUNT(*) AS n_t FROM toks WHERE lang = '{DSIR_TARGET_LANG}'
+), nr AS (
+  SELECT COUNT(*) AS n_r FROM toks
+), lam AS (
+  SELECT cr.h,
+    CAST(round(ln(
+      CAST((COALESCE(ct.ct, 0) + 1) * (nr.n_r + {DSIR_B}) AS DOUBLE)
+      / CAST((cr.cr + 1) * (nt.n_t + {DSIR_B}) AS DOUBLE)
+    ) * 1e6) AS BIGINT) AS lw
+  FROM cr LEFT JOIN ct USING (h), nt, nr
+), dk AS (
+  SELECT doc_id, h, COUNT(*) AS k FROM toks GROUP BY doc_id, h
+), wsum AS (
+  SELECT dk.doc_id,
+    CAST(SUM(dk.k * lam.lw) AS BIGINT) AS w_fp,
+    CAST(SUM(dk.k) AS BIGINT) AS n_toks
+  FROM dk JOIN lam USING (h) GROUP BY dk.doc_id
+)
+SELECT d.doc_id, d.lang,
+  COALESCE(w.n_toks, 0) AS n_toks,
+  COALESCE(w.w_fp, 0) AS weight_fp,
+  round(COALESCE(w.w_fp, 0) / 1e6, 6) AS dsir_weight
+FROM documents d LEFT JOIN wsum w USING (doc_id)
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -7138,6 +7438,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dehyphenate": (q_dehyphenate, DEHYPHENATE_SQL),
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
     "embed_quantize": (q_embed_quantize, EMBED_QUANTIZE_SQL),
+    "pagerank": (q_pagerank, PAGERANK_SQL),
+    "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
+    "dsir_weights": (q_dsir_weights, DSIR_WEIGHTS_SQL),
 }
 
 

@@ -84,6 +84,9 @@ SUBSET = [
     "coreset_sample",
     "asof_join",
     "embed_quantize",
+    "pagerank",
+    "length_quantiles",
+    "dsir_weights",
 ]
 
 
@@ -1372,3 +1375,92 @@ def test_embed_quantize_bounds(spark, sf001_dir):
     assert (out.mse_e6 >= 0).all()
     bound_e6 = (out.scale / 254.0) ** 2 * 1e6
     assert (out.mse_e6 <= bound_e6 + 1e-9).all()
+
+
+def test_pagerank_fixed_point_recurrence(spark, sf001_dir):
+    """Independent numpy re-derivation of the integer PageRank
+    recurrence from the kNN edge list, plus structural invariants:
+    every rank >= the teleport base, an in-degree-0 node sits EXACTLY
+    at the base after the final iteration, and total mass never
+    exceeds N * PR_SCALE (integer truncation + dangling leak only
+    remove mass, never add it)."""
+    import numpy as np
+
+    edges = R.q_knn_graph(spark, sf001_dir).toPandas()
+    got = R.q_pagerank(spark, sf001_dir).toPandas()
+    n = len(got)
+    ids = sorted(got["vec_id"])
+    idx = {v: i for i, v in enumerate(ids)}
+    src = edges["vec_id"].map(idx).to_numpy()
+    dst = edges["nbr_id"].map(idx).to_numpy()
+    od = np.zeros(n, dtype=np.int64)
+    np.add.at(od, src, 1)
+    rf = np.full(n, R.PR_SCALE, dtype=np.int64)
+    for _ in range(R.PR_ITERS):
+        contrib = rf[src] // od[src]
+        m = np.zeros(n, dtype=np.int64)
+        np.add.at(m, dst, contrib)
+        rf = R.PR_BASE + (17 * m) // 20
+    want = dict(zip(ids, [int(x) for x in rf]))
+    got_map = dict(zip(got["vec_id"], got["pr_fp"]))
+    assert got_map == want
+    assert (got["pr_fp"] >= R.PR_BASE).all()
+    indeg = np.zeros(n, dtype=np.int64)
+    np.add.at(indeg, dst, 1)
+    sinks = [ids[i] for i in range(n) if indeg[i] == 0]
+    if sinks:
+        assert all(got_map[v] == R.PR_BASE for v in sinks)
+    assert got["pr_fp"].sum() <= n * R.PR_SCALE
+
+
+def test_length_quantiles_hand_checked(spark, tmp_path):
+    """Quartiles on a crafted single-language corpus checked against
+    numpy's linear interpolation — the dyadic-fraction exactness claim
+    in the docstring, pinned on an n where 0.25*(n-1) is fractional."""
+    import numpy as np
+
+    lens = [10, 20, 30, 40, 50, 60]  # n=6: h(0.25)=1.25 fractional
+    d = str(tmp_path / "lq")
+    spark.createDataFrame(
+        [
+            (i, " ".join(["w"] * ln), "en", "s0", ln)
+            for i, ln in enumerate(lens)
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    out = R.q_length_quantiles(spark, d).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n_docs"] == 6
+    assert row["chars_min"] == 10 and row["chars_max"] == 60
+    for col, q in [
+        ("chars_p25", 0.25),
+        ("chars_p50", 0.5),
+        ("chars_p75", 0.75),
+    ]:
+        assert row[col] == np.percentile(lens, q * 100), col
+    assert row["toks_p50"] == np.percentile(lens, 50)
+
+
+def test_dsir_weights_separates_target(spark, sf001_dir):
+    """The operator's purpose, pinned: target-language docs must score
+    a strictly higher mean importance weight than off-target docs
+    (they ARE the target distribution), weights must be internally
+    consistent with their fixed-point column, and n_toks must equal
+    the whitespace token count."""
+    out = R.q_dsir_weights(spark, sf001_dir).toPandas()
+    docs = pd.read_parquet(f"{sf001_dir}/documents.parquet")
+    assert len(out) == len(docs)
+    tgt = out[out["lang"] == R.DSIR_TARGET_LANG]["dsir_weight"]
+    off = out[out["lang"] != R.DSIR_TARGET_LANG]["dsir_weight"]
+    assert tgt.mean() > off.mean()
+    assert (out["dsir_weight"] == (out["weight_fp"] / 1e6).round(6)).all()
+    want_toks = (
+        docs.set_index("doc_id")["text"]
+        .str.split()
+        .map(len)
+        .rename("n_toks")
+    )
+    got_toks = out.set_index("doc_id")["n_toks"]
+    assert got_toks.sort_index().equals(want_toks.sort_index())
