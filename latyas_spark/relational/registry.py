@@ -1963,6 +1963,174 @@ FROM sig GROUP BY simhash
 """
 
 
+# -- SimHash Hamming-ball near-dup pairs --------------------------------------
+
+SIMHASH_PAIR_BITS = 64  # pair-detection signature width (Manku's width)
+SIMHASH_PAIR_BANDS = 4  # 16-bit bands => Hamming<=3 has zero false negatives
+SIMHASH_PAIR_MAXHAM = 3
+
+# bit 63's weight in a signed BIGINT is LONG_MIN (two's complement);
+# written as -(2^63-1)-1 because the literal 2^63 overflows pre-negation
+_I64_MIN_SQL = "(-9223372036854775807 - 1)"
+
+
+def _simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit full-text SimHash per doc (one md5 per word, 64 bit-vote
+    sums as agg columns — q_simhash_buckets' construction at Manku's
+    production width; the hash is the digest's first 16 hex chars read
+    as two 32-bit halves so no cast ever exceeds signed-int64 range,
+    and bit 63 folds in as LONG_MIN per two's complement)."""
+    docs = _read(spark, sf_dir, "documents")
+    hashed = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substring(md5(word), 1, 8), 16, 10) as bigint)"
+            ).alias("h1"),
+            F.expr(
+                "cast(conv(substring(md5(word), 9, 8), 16, 10) as bigint)"
+            ).alias("h2"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.expr(
+                f"case when (({'h1' if b < 32 else 'h2'} >> {b % 32}) & 1)"
+                f" = 1 then 1 else -1 end"
+            )
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_PAIR_BITS)
+    ]
+    fold = F.expr(
+        " + ".join(
+            f"(case when v{b} > 0 then cast({1 << b} as bigint) else 0 end)"
+            for b in range(63)
+        )
+        + f" + (case when v63 > 0 then {_I64_MIN_SQL} else 0 end)"
+    )
+    return hashed.groupBy("doc_id").agg(*votes).select(
+        "doc_id", fold.cast("bigint").alias("s")
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS at Hamming distance <= {H} over
+    {W}-bit full-text signatures — the web-crawl dedup algorithm of
+    Manku, Jain & Das Sarma (WWW 2007), completing the family:
+    ``simhash_buckets`` groups exact-signature collisions, this query
+    generates the Hamming-BALL candidate pairs that minhash-style
+    shingle LSH and embedding LSH each approach differently.
+
+    Zero-false-negative banding (the Manku table trick): the signature
+    splits into {B} disjoint 16-bit bands; a pair at Hamming <= {H}
+    differs in at most {H} bands, so by pigeonhole it matches EXACTLY
+    on at least one band — candidates = band-bucket join, verification
+    = exact popcount ``bit_count(s_a ^ s_b) <= {H}``.  No candidate at
+    Hamming <= {H} is missed (only the boilerplate-cap below can drop
+    docs, never the banding itself).  Width matters here in a way it
+    does not for minhash: simhash BITS are majority votes over the
+    shared vocabulary, so band values are CORRELATED across topically
+    uniform docs — an 8-bit band over this corpus put 28% of all docs
+    into one bucket (measured), which the cap would then drop,
+    silently voiding the guarantee; 16-bit bands spread the same
+    corpus to <=25 docs/bucket.
+
+    100 TB shape: one md5 per word; the {W} bit votes are {W} agg
+    columns in ONE map-side-combinable groupBy (no word x bit
+    explosion); each doc emits {B} (band, value) rows; buckets larger
+    than MINHASH_BUCKET_CAP are dropped before the self-join (same
+    quadratic-bucket guard as q_minhash_pairs — a band value shared by
+    f docs costs f^2/2 pairs).  Larger corpora raise the band width /
+    table count (Manku's 64/k split), not the plan shape."""
+    sig = _simhash64_sigs(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "s",
+        F.expr(
+            "stack(4, "
+            + ", ".join(
+                f"{b}, cast((s >> {16 * b}) & 65535 as int)"
+                for b in range(4)
+            )
+            + ") as (band, bval)"
+        ),
+    )
+    bw = Window.partitionBy("band", "bval")
+    bands_f = bands.withColumn("bucket_n", F.count(F.lit(1)).over(bw)).filter(
+        F.col("bucket_n") <= MINHASH_BUCKET_CAP
+    )
+    a, b = bands_f.alias("a"), bands_f.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("bit_count(sa ^ sb)").cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= SIMHASH_PAIR_MAXHAM)
+
+
+q_simhash_pairs.__doc__ = q_simhash_pairs.__doc__.format(
+    H=SIMHASH_PAIR_MAXHAM, W=SIMHASH_PAIR_BITS, B=SIMHASH_PAIR_BANDS
+)
+
+_SIMHASH64_VOTES_SQL = ",\n    ".join(
+    f"SUM(CASE WHEN (({'h1' if b < 32 else 'h2'} >> {b % 32}) & 1) = 1"
+    f" THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH_PAIR_BITS)
+)
+_SIMHASH64_FOLD_SQL = (
+    " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(63)
+    )
+    + f" + (CASE WHEN v63 > 0 THEN {_I64_MIN_SQL} ELSE 0 END)"
+)
+
+SIMHASH_PAIRS_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), hashed AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h1,
+    CAST(('0x' || substr(md5(word), 9, 8)) AS BIGINT) AS h2
+  FROM words WHERE word <> ''
+), wide AS (
+  SELECT doc_id, {_SIMHASH64_VOTES_SQL}
+  FROM hashed GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST({_SIMHASH64_FOLD_SQL} AS BIGINT) AS s FROM wide
+), bands AS (
+  SELECT doc_id, s, band, CAST((s >> (16 * band)) & 65535 AS INT) AS bval
+  FROM sig, (SELECT unnest(range({SIMHASH_PAIR_BANDS})) AS band)
+), bands_f AS (
+  SELECT doc_id, s, band, bval FROM bands
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bval) <= {MINHASH_BUCKET_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.s AS sa, b.s AS sb
+  FROM bands_f a JOIN bands_f b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_PAIR_MAXHAM}
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against a fixed query vector (vec_id 0),
     all math in double with a sequential fold (deterministic)."""
@@ -7361,6 +7529,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_canonical": (q_dedup_canonical, DEDUP_CANONICAL_SQL),
     "simhash_buckets": (q_simhash_buckets, SIMHASH_SQL),
+    "simhash_pairs": (q_simhash_pairs, SIMHASH_PAIRS_SQL),
     "cosine_topk": (q_cosine_topk, COSINE_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "quality_score": (q_quality_score, QUALITY_SQL),

@@ -87,6 +87,7 @@ SUBSET = [
     "pagerank",
     "length_quantiles",
     "dsir_weights",
+    "simhash_pairs",
 ]
 
 
@@ -1464,3 +1465,49 @@ def test_dsir_weights_separates_target(spark, sf001_dir):
     )
     got_toks = out.set_index("doc_id")["n_toks"]
     assert got_toks.sort_index().equals(want_toks.sort_index())
+
+
+def test_simhash_pairs_brute_force_equality(spark, sf001_dir):
+    """Independent pure-python recomputation: per-doc 64-bit simhash
+    from md5 word votes (unsigned arithmetic — the engine's signed
+    two's-complement fold is the same bit pattern), then ALL-PAIRS
+    exact Hamming <= 3 — must equal the banded query exactly (the
+    zero-false-negative pigeonhole claim; at sf0.001 no 16-bit band
+    bucket exceeds the cap, so the banding must be lossless)."""
+    import hashlib
+
+    out = R.q_simhash_pairs(spark, sf001_dir).toPandas()
+    docs = pd.read_parquet(f"{sf001_dir}/documents.parquet")
+    sigs = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        votes = [0] * 64
+        for w in text.split(" "):
+            if not w:
+                continue
+            hx = hashlib.md5(w.encode()).hexdigest()
+            h1, h2 = int(hx[:8], 16), int(hx[8:16], 16)
+            for b in range(64):
+                bit = (h1 >> b) & 1 if b < 32 else (h2 >> (b - 32)) & 1
+                votes[b] += 1 if bit else -1
+        sigs[doc_id] = sum(1 << b for b in range(64) if votes[b] > 0)
+    ids = sorted(sigs)
+    want = set()
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            ham = bin(sigs[da] ^ sigs[db]).count("1")
+            if ham <= R.SIMHASH_PAIR_MAXHAM:
+                want.add((da, db, ham))
+    got = set(
+        (a, b, int(h))
+        for a, b, h in zip(out["doc_a"], out["doc_b"], out["hamming"])
+    )
+    assert got == want
+    assert len(want) > 0  # the fixture must exercise the operator
+    # no bucket at this sf may hit the cap (else "lossless" is vacuous)
+    from collections import Counter
+
+    cnt = Counter()
+    for s in sigs.values():
+        for b in range(4):
+            cnt[(b, (s >> (16 * b)) & 0xFFFF)] += 1
+    assert max(cnt.values()) <= R.MINHASH_BUCKET_CAP
