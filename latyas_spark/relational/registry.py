@@ -4841,13 +4841,13 @@ def _km_assign_sql(vecs: str, cents: str, out: str) -> str:
 )"""
 
 
-def _km_update_sql(assigned: str, out: str) -> str:
+def _km_update_sql(assigned: str, out: str, dims: int = 64) -> str:
     return f"""{out} AS (
   SELECT cid, array_agg(comp ORDER BY pos) AS civ FROM (
     SELECT cid, pos,
       CAST(floor(SUM(val) * 1.0 / COUNT(*)) AS BIGINT) AS comp
     FROM (
-      SELECT cid, unnest(range(64)) AS pos, iv FROM {assigned}
+      SELECT cid, unnest(range({dims})) AS pos, iv FROM {assigned}
     ) x, LATERAL (SELECT iv[CAST(pos AS INT) + 1] AS val) v
     GROUP BY cid, pos
   ) GROUP BY cid
@@ -4880,6 +4880,143 @@ WHERE a3.cid = q.qcid AND a3.vec_id <> 0
 ORDER BY idist ASC, vec_id ASC LIMIT 10
 """
 )
+
+
+# -- Product quantization ANN --------------------------------------------------
+
+_PQ_M = 2  # subspaces
+_PQ_SUBDIM = 32  # dims per subspace (embeddings are 64-dim)
+
+
+def _pq_codebooks(
+    e: DataFrame, off: int
+) -> tuple[DataFrame, DataFrame]:
+    """One PQ sub-quantizer: the ann_kmeans Lloyd chain (2 unrolled
+    rounds, K={K}, init = the {K} smallest vec_ids' subvectors) run on
+    the 32-dim slice at ``off`` — returns (codes, centroids)."""
+    sub = e.select(
+        "vec_id", F.expr(f"slice(iv, {off + 1}, {_PQ_SUBDIM})").alias("iv")
+    )
+    cents = sub.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
+    )
+    for _ in range(2):
+        cents = _km_update(_km_assign(sub, cents))
+    cents = cents.localCheckpoint(eager=False)
+    return _km_assign(sub, cents), cents
+
+
+_pq_codebooks.__doc__ = _pq_codebooks.__doc__.format(K=_KM_K)
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou, Douze & Schmid, TPAMI 2011) —
+    the memory-bounded end of the repo's ANN family: the 64-dim vector
+    is split into {M} x {SD}-dim subspaces, each sub-quantized by its
+    own learned codebook (the ann_kmeans Lloyd chain per subspace), so
+    every vector compresses to {M} codes ({M} x 3 bits here); query
+    search is ADC (asymmetric distance computation) — the query stays
+    EXACT, each subspace contributes a small lookup table of exact
+    distances query-subvector -> sub-centroid, and a vector's
+    approximate distance is the SUM of its codes' table entries.
+    Output: top-10 by ADC distance with the exact distance alongside
+    (the per-hit fidelity the ann_recall report aggregates).
+
+    Cross-engine determinism: the whole chain inherits ann_kmeans'
+    integer discipline — quantized int64 subvectors, floor-divided
+    centroid updates, integer sub-distances; ADC sums are sums of two
+    int64s; all argmin/top-k ties break on cluster id / vec_id.
+
+    100 TB shape: training = {M} independent Lloyd chains over 32-dim
+    slices (broadcast-assign / combinable-update, corpus never
+    shuffles); the code table is {M} small ints per vector — 1/85th of
+    the raw vector bytes, which is WHY PQ is the standard billion-scale
+    in-memory index (IVF-PQ = ann_kmeans cells + this code); search is
+    a map against the BROADCAST {M} x {K}-row LUT, top-k is the only
+    shuffle.  Real deployments use M=8..64 subspaces and 8-bit
+    codebooks trained on a sample; constants differ, plan shape does
+    not."""
+    e = _km_vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("iv").alias("qiv"))
+    parts = []
+    for m in range(_PQ_M):
+        codes, cents = _pq_codebooks(e, m * _PQ_SUBDIM)
+        qsub = q.select(
+            F.expr(
+                f"slice(qiv, {m * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})"
+            ).alias("qv")
+        )
+        lut = cents.crossJoin(F.broadcast(qsub)).select(
+            "cid", F.expr(_int_l2_expr("civ", "qv")).alias("d")
+        )
+        parts.append(
+            codes.join(F.broadcast(lut), "cid").select(
+                "vec_id", F.col("d").alias(f"d{m}")
+            )
+        )
+    adc = parts[0].join(parts[1], "vec_id").select(
+        "vec_id", (F.col("d0") + F.col("d1")).cast("bigint").alias("adc_dist")
+    )
+    exact = e.crossJoin(F.broadcast(q)).select(
+        "vec_id", F.expr(_int_l2_expr("iv", "qiv")).alias("idist")
+    )
+    return (
+        adc.join(exact, "vec_id")
+        .filter(F.col("vec_id") != 0)
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+q_ann_pq.__doc__ = q_ann_pq.__doc__.format(
+    M=_PQ_M, SD=_PQ_SUBDIM, K=_KM_K
+)
+
+
+def _pq_chain_sql(m: int) -> str:
+    """The per-subspace Lloyd CTE chain (sub-vector slice, 2 rounds,
+    final assignment) with s{m}_-prefixed CTE names."""
+    off, p = m * _PQ_SUBDIM, f"s{m}_"
+    return f"""{p}e AS (
+  SELECT vec_id, iv[{off + 1}:{off + _PQ_SUBDIM}] AS iv FROM e
+), {p}c0 AS (
+  SELECT vec_id AS cid, iv AS civ FROM {p}e WHERE vec_id < {_KM_K}
+), {_km_assign_sql(p + "e", p + "c0", p + "a1")},
+{_km_update_sql(p + "a1", p + "c1", _PQ_SUBDIM)},
+{_km_assign_sql(p + "e", p + "c1", p + "a2")},
+{_km_update_sql(p + "a2", p + "c2", _PQ_SUBDIM)},
+{_km_assign_sql(p + "e", p + "c2", p + "a3")},
+{p}q AS (SELECT iv AS qv FROM {p}e WHERE vec_id = 0),
+{p}lut AS (
+  SELECT c.cid,
+    CAST(list_sum(list_transform(list_zip(c.civ, q.qv),
+         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+  FROM {p}c2 c, {p}q q
+), {p}adc AS (
+  SELECT a.vec_id, l.d FROM {p}a3 a JOIN {p}lut l ON a.cid = l.cid
+)"""
+
+
+ANN_PQ_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT)) AS iv
+  FROM embeddings
+), {_pq_chain_sql(0)},
+{_pq_chain_sql(1)},
+q AS (SELECT iv AS qiv FROM e WHERE vec_id = 0)
+SELECT e.vec_id,
+  CAST(s0_adc.d + s1_adc.d AS BIGINT) AS adc_dist,
+  CAST(list_sum(list_transform(list_zip(e.iv, q.qiv),
+       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS idist
+FROM e
+JOIN s0_adc ON s0_adc.vec_id = e.vec_id
+JOIN s1_adc ON s1_adc.vec_id = e.vec_id
+CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY adc_dist ASC, e.vec_id ASC LIMIT 10
+"""
 
 
 def q_outlier_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7530,6 +7667,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_canonical": (q_dedup_canonical, DEDUP_CANONICAL_SQL),
     "simhash_buckets": (q_simhash_buckets, SIMHASH_SQL),
     "simhash_pairs": (q_simhash_pairs, SIMHASH_PAIRS_SQL),
+    "ann_pq": (q_ann_pq, ANN_PQ_SQL),
     "cosine_topk": (q_cosine_topk, COSINE_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "quality_score": (q_quality_score, QUALITY_SQL),

@@ -88,6 +88,7 @@ SUBSET = [
     "length_quantiles",
     "dsir_weights",
     "simhash_pairs",
+    "ann_pq",
 ]
 
 
@@ -1511,3 +1512,59 @@ def test_simhash_pairs_brute_force_equality(spark, sf001_dir):
         for b in range(4):
             cnt[(b, (s >> (16 * b)) & 0xFFFF)] += 1
     assert max(cnt.values()) <= R.MINHASH_BUCKET_CAP
+
+
+def test_ann_pq_numpy_rederivation(spark, sf001_dir):
+    """Full independent numpy re-derivation of the PQ chain: per
+    subspace the exact 2-round Lloyd (int64 subvectors, argmin ties to
+    smaller cid, floor(sum/count) centroid updates), then the ADC
+    lookup-table search — top-10 (vec_id, adc_dist, idist) must match
+    the query exactly."""
+    import numpy as np
+
+    out = R.q_ann_pq(spark, sf001_dir).toPandas()
+    emb = pd.read_parquet(f"{sf001_dir}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    iv = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * R._KM_Q
+    ).astype(np.int64)
+    ids = emb["vec_id"].to_numpy()
+    assert (ids == np.arange(len(ids))).all()  # init rule needs 0..7
+
+    def assign_to(sub, cents):
+        cids = sorted(cents)
+        cm = np.stack([cents[c] for c in cids])
+        d = ((sub[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        return np.array([cids[j] for j in d.argmin(axis=1)])
+
+    def lloyd(sub):
+        cents = {c: sub[c].copy() for c in range(R._KM_K)}
+        for _ in range(2):
+            assign = assign_to(sub, cents)
+            cents = {
+                c: np.floor(
+                    sub[assign == c].sum(axis=0)
+                    / float((assign == c).sum())
+                ).astype(np.int64)
+                for c in sorted(set(assign))
+            }
+        # final assignment against the SAME codebook the LUT uses (c2)
+        return assign_to(sub, cents), cents
+
+    adc = np.zeros(len(ids), dtype=np.int64)
+    for m in range(R._PQ_M):
+        sub = iv[:, m * R._PQ_SUBDIM : (m + 1) * R._PQ_SUBDIM]
+        assign, cents = lloyd(sub)
+        lut = {c: int(((sub[0] - v) ** 2).sum()) for c, v in cents.items()}
+        adc += np.array([lut[c] for c in assign])
+    idist = ((iv - iv[0]) ** 2).sum(axis=1)
+    order = sorted(
+        (int(adc[i]), int(v))
+        for i, v in enumerate(ids)
+        if v != 0
+    )[:10]
+    want = [
+        (v, a, int(idist[np.where(ids == v)[0][0]])) for a, v in order
+    ]
+    got = list(zip(out["vec_id"], out["adc_dist"], out["idist"]))
+    assert [(int(a), int(b), int(c)) for a, b, c in got] == want
