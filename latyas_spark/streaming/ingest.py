@@ -194,3 +194,121 @@ def streaming_span_metrics(
             "n_docs",
         )
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 30,
+    watermark: str = "0 seconds",
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Event-time sessionization as a CUSTOM STATEFUL streaming
+    operator with EVENT-TIME TIMEOUT — the streaming lift of the batch
+    ``sessionize`` query (lag-window gap split): events group into
+    per-user sessions that close when no event follows within
+    ``gap_seconds`` of the last one.  A session is emitted exactly
+    once, either when a later event for the same user arrives past the
+    gap (in-batch or any later batch — the open session rides in
+    state), or when the WATERMARK passes last_event + gap and the
+    state times out (``GroupStateTimeout.EventTimeTimeout``) — the
+    mechanism that closes sessions for users who simply stopped,
+    which no data-driven operator can do.
+
+    Scale shape: state is hash-partitioned by user_id and holds ONLY
+    the open session (start, last, count — three int64s), never the
+    event list, so a mega-user costs O(1) state; per batch each user's
+    new events are one sorted in-memory run.  Late events beyond the
+    watermark are dropped by the engine before the operator (the
+    standard watermark contract); replays are deterministic because
+    the file-source commit log fixes batch composition.  RocksDB state
+    store note as in ``stream_dedup_first_seen``.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = int(gap_seconds) * 1_000_000
+    reader = spark.readStream.schema(
+        "user_id bigint, event_ts timestamp, event_type string"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(input_dir).withWatermark("event_ts", watermark)
+
+    out_schema = (
+        "user_id bigint, session_start timestamp,"
+        " session_end timestamp, n_events bigint"
+    )
+
+    def update_sessions(key, pdf_iter, state):
+        import pandas as pd
+
+        def emit(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(rows),
+                    "session_start": [
+                        pd.to_datetime(s, unit="us") for s, _, _ in rows
+                    ],
+                    "session_end": [
+                        pd.to_datetime(l, unit="us") for _, l, _ in rows
+                    ],
+                    "n_events": [n for _, _, n in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            s, l, n = state.get
+            state.remove()
+            yield emit([(s, l, n)])
+            return
+
+        ts = []
+        for pdf in pdf_iter:
+            ts.extend(pdf["event_ts"].astype("int64") // 1000)
+        ts.sort()
+        if state.exists:
+            s, l, n = state.get
+        else:  # first event seeds the open session
+            s, l, n = ts[0], ts[0], 1
+            ts = ts[1:]
+        closed = []
+        for t in ts:
+            if t - l > gap_us:
+                closed.append((s, l, n))
+                s, l, n = t, t, 1
+            else:
+                l = max(l, t)
+                n += 1
+        state.update((int(s), int(l), int(n)))
+        state.setTimeoutTimestamp(int(l) // 1000 + gap_seconds * 1000)
+        if closed:
+            yield emit(closed)
+
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        update_sessions,
+        outputStructType=out_schema,
+        stateStructType="start_us bigint, last_us bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
+
+    writer = (
+        sessions.writeStream.foreachBatch(process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

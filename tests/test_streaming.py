@@ -200,3 +200,90 @@ def test_stream_retry_same_batch_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     )
     assert once == twice  # no duplication, batch replaced in place
+
+
+def test_stream_sessionize_gap_and_timeout(spark, tmp_path):
+    """Event-time sessionization with state timeout, pinned against an
+    independent pandas gap-split over the same events: in-batch gap
+    closes, CROSS-BATCH session merge through state (user 3's session
+    spans two files), and watermark-driven timeout closes for users who
+    stopped.  Sentinel users in trailing single-file batches advance
+    the watermark so every real session times out."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from latyas_spark.streaming import stream_sessionize
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+
+    def t(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    schema = "user_id long, event_ts timestamp, event_type string"
+    # batch 1: users 1 and 2 complete; user 3's session starts
+    f1 = [
+        (1, t(0), "view"), (1, t(10), "view"), (1, t(20), "click"),
+        (1, t(100), "view"), (1, t(110), "purchase"),
+        (2, t(5), "view"), (2, t(200), "view"),
+        (3, t(300), "view"),
+    ]
+    # batch 2: user 3 continues (cross-batch merge) + far sentinel
+    f2 = [(3, t(310), "click"), (999, t(1_000_000), "view")]
+    # batch 3: second sentinel fires the remaining timeouts
+    f3 = [(999, t(2_000_000), "view")]
+    for i, rows in enumerate([f1, f2, f3]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{in_dir}/f{i}"
+        )
+
+    q = stream_sessionize(
+        spark, in_dir + "/*", out_dir, ck_dir,
+        gap_seconds=30, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    got = (
+        spark.read.parquet(out_dir)
+        .filter("user_id < 999")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+    # independent pandas sessionization of the same (non-sentinel) events
+    ev = pd.DataFrame(
+        [r for r in f1 + f2 + f3 if r[0] < 999],
+        columns=["user_id", "event_ts", "event_type"],
+    )
+    want_rows = []
+    for uid, g in ev.groupby("user_id"):
+        tss = sorted(g["event_ts"])
+        start, last, n = tss[0], tss[0], 1
+        for x in tss[1:]:
+            if (x - last).total_seconds() > 30:
+                want_rows.append((uid, start, last, n))
+                start, last, n = x, x, 1
+            else:
+                last, n = x, n + 1
+        want_rows.append((uid, start, last, n))
+    want = (
+        pd.DataFrame(
+            want_rows,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_events": "int64"}),
+        want.astype({"n_events": "int64"}),
+        check_dtype=False,
+    )
+    # the cross-batch merge specifically: user 3 is ONE 2-event session
+    u3 = got[got.user_id == 3]
+    assert len(u3) == 1 and int(u3.iloc[0]["n_events"]) == 2
