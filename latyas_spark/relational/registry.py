@@ -7646,6 +7646,171 @@ FROM documents d LEFT JOIN wsum w USING (doc_id)
 """
 
 
+# -- CUBE / grouping-sets corpus report ----------------------------------------
+
+
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus size report at EVERY aggregation granularity in one scan:
+    ``CUBE (lang, source)`` emits the (lang, source), (lang), (source)
+    and grand-total rows together — the one-pass replacement for the
+    four separate groupBys a reporting layer would otherwise run (the
+    reference has no grouping sets at all, SURVEY §2.4; this exercises
+    Spark's Expand+partial-agg physical shape, which none of the other
+    100 queries do).  Group keys are COALESCEd to the '(all)' sentinel
+    (neither column is nullable in this corpus, so the sentinel is
+    unambiguous).
+
+    100 TB shape: Expand multiplies the mapper rows by the number of
+    grouping sets (4x here) BEFORE the partial aggregate collapses them
+    to the key space — the shuffle still carries only (lang x source +
+    lang + source + 1) partial rows per mapper, so cost scales with the
+    key space, not the corpus; token counts come from the same
+    higher-order-function projection as token_stats (no explode)."""
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        F.size(F.expr(_WORDS_EXPR)).cast("bigint").alias("nt"),
+        F.col("n_chars").cast("bigint").alias("nc"),
+    )
+    return (
+        base.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("nc").alias("n_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+        )
+    )
+
+
+CORPUS_ROLLUP_SQL = f"""
+SELECT COALESCE(lang, '(all)') AS lang,
+  COALESCE(source, '(all)') AS source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CAST(len({_WORDS_SQL}) AS BIGINT)) AS BIGINT) AS n_tokens,
+  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
+# -- Rolling-window activity report ---------------------------------------------
+
+
+def q_rolling_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity over the events stream with a 7-day ROLLING event
+    count — the RANGE-frame window (``RANGE BETWEEN 6 PRECEDING AND
+    CURRENT ROW`` over an integer day key), the one window-frame shape
+    no other query uses (lag/lead, running IGNORE-NULLS carries and
+    per-key top-k are all covered elsewhere).  A RANGE frame differs
+    from ROWS on gap days: a missing day still ages out of the window,
+    which a 7-ROWS frame would silently not do.
+
+    100 TB shape: the corpus collapses to per-day partials first (ONE
+    combinable groupBy — the only corpus-sized exchange); the rolling
+    window then runs over the key-space-sized daily frame (hundreds of
+    rows per year), where a single-partition sort is free.  For
+    multi-year / per-tenant variants the window partitions by
+    (tenant, year) and stays bounded."""
+    ev = _read(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("dnum"),
+            "user_id",
+        )
+        .groupBy("day", "dnum")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    w = Window.orderBy("dnum").rangeBetween(-6, 0)
+    return daily.select(
+        # ISO string, not DATE: date columns reach pandas as python
+        # date objects on the Spark side but datetime64 on the DuckDB
+        # side, which the order-insensitive value compare can't unify
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "n_users",
+        F.sum("n_events").over(w).cast("bigint").alias("rolling7_events"),
+    )
+
+
+ROLLING_ACTIVITY_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+      AS dnum,
+    COUNT(*) AS n_events,
+    COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_events, n_users,
+  CAST(SUM(n_events) OVER (
+    ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS rolling7_events
+FROM daily
+"""
+
+
+# -- Quality deciles --------------------------------------------------------------
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language decile table over doc length — the calibration
+    report behind 'drop the bottom k deciles' filter rules: ``ntile
+    (10)`` over a TOTAL order (n_chars, then doc_id so ties are
+    deterministic and both engines cut identical buckets — ntile bucket
+    boundaries are positional, so any nondeterministic tie order would
+    hash-diverge), then per-(lang, decile) size and bounds.
+
+    100 TB shape: ntile needs a per-language total sort — languages are
+    tens of partitions (the length_quantiles scale note applies: the
+    sort is per-key and spill-backed, never global); the decile
+    aggregate reuses the window's (lang) partitioning, and output is
+    key-space-sized (n_langs x 10)."""
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("n_chars"), F.asc("doc_id")
+    )
+    scored = docs.select(
+        "lang",
+        F.col("n_chars").cast("bigint").alias("nc"),
+        F.size(F.expr(_WORDS_EXPR)).cast("bigint").alias("nt"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return scored.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("nc").alias("chars_min"),
+        F.max("nc").alias("chars_max"),
+        F.sum("nt").alias("n_tokens"),
+    )
+
+
+QUALITY_DECILES_SQL = f"""
+WITH scored AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS nc,
+    CAST(len({_WORDS_SQL}) AS BIGINT) AS nt,
+    ntile(10) OVER (
+      PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC
+    ) AS decile
+  FROM documents
+)
+SELECT lang, decile, COUNT(*) AS n_docs,
+  MIN(nc) AS chars_min, MAX(nc) AS chars_max,
+  CAST(SUM(nt) AS BIGINT) AS n_tokens
+FROM scored GROUP BY lang, decile
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -7668,6 +7833,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "simhash_buckets": (q_simhash_buckets, SIMHASH_SQL),
     "simhash_pairs": (q_simhash_pairs, SIMHASH_PAIRS_SQL),
     "ann_pq": (q_ann_pq, ANN_PQ_SQL),
+    "corpus_rollup": (q_corpus_rollup, CORPUS_ROLLUP_SQL),
+    "rolling_activity": (q_rolling_activity, ROLLING_ACTIVITY_SQL),
+    "quality_deciles": (q_quality_deciles, QUALITY_DECILES_SQL),
     "cosine_topk": (q_cosine_topk, COSINE_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "quality_score": (q_quality_score, QUALITY_SQL),

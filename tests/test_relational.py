@@ -89,6 +89,9 @@ SUBSET = [
     "dsir_weights",
     "simhash_pairs",
     "ann_pq",
+    "corpus_rollup",
+    "rolling_activity",
+    "quality_deciles",
 ]
 
 
@@ -1568,3 +1571,71 @@ def test_ann_pq_numpy_rederivation(spark, sf001_dir):
     ]
     got = list(zip(out["vec_id"], out["adc_dist"], out["idist"]))
     assert [(int(a), int(b), int(c)) for a, b, c in got] == want
+
+
+def test_corpus_rollup_marginals_consistent(spark, sf001_dir):
+    """CUBE structural invariants: the grand-total row equals the sum
+    of the finest cells, every lang marginal equals the sum of its
+    (lang, source) cells, and all four granularities are present."""
+    out = R.q_corpus_rollup(spark, sf001_dir).toPandas()
+    fine = out[(out.lang != "(all)") & (out.source != "(all)")]
+    total = out[(out.lang == "(all)") & (out.source == "(all)")]
+    assert len(total) == 1
+    for c in ("n_docs", "n_tokens", "n_chars"):
+        assert int(total.iloc[0][c]) == int(fine[c].sum())
+    lang_m = out[(out.lang != "(all)") & (out.source == "(all)")]
+    for _, row in lang_m.iterrows():
+        cells = fine[fine.lang == row["lang"]]
+        assert int(row["n_docs"]) == int(cells["n_docs"].sum())
+        assert int(row["n_tokens"]) == int(cells["n_tokens"].sum())
+    src_m = out[(out.lang == "(all)") & (out.source != "(all)")]
+    assert len(out) == len(fine) + len(lang_m) + len(src_m) + 1
+
+
+def test_rolling_activity_range_frame_ages_out_gap_days(spark, tmp_path):
+    """The RANGE-vs-ROWS distinction, pinned: a crafted stream with a
+    calendar gap — events on days 0, 1, 10.  Day 10's 7-day rolling
+    count must be day 10 ALONE (days 0-1 aged out by the RANGE frame);
+    a 7-ROWS frame would wrongly include them."""
+    import datetime as dt
+
+    d = str(tmp_path / "ra")
+    rows = []
+    eid = 0
+    for day, n in [(0, 3), (1, 2), (10, 4)]:
+        for i in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1 + day, 12, i), 100 + i,
+                 "view", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    out = (
+        R.q_rolling_activity(spark, d)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_events"]) == [3, 2, 4]
+    assert list(out["rolling7_events"]) == [3, 5, 4]  # day 10 stands alone
+
+
+def test_quality_deciles_bucket_properties(spark, sf001_dir):
+    """ntile invariants per language: bucket sizes differ by at most
+    one with earlier buckets never smaller, sizes sum to the language's
+    doc count, and bucket boundaries are monotonic (chars_max of decile
+    d <= chars_min of decile d+1)."""
+    out = R.q_quality_deciles(spark, sf001_dir).toPandas()
+    docs = pd.read_parquet(f"{sf001_dir}/documents.parquet")
+    for lang, g in out.groupby("lang"):
+        g = g.sort_values("decile").reset_index(drop=True)
+        sizes = list(g["n_docs"])
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)
+        assert sum(sizes) == (docs["lang"] == lang).sum()
+        for i in range(len(g) - 1):
+            assert g.iloc[i]["chars_max"] <= g.iloc[i + 1]["chars_min"]
