@@ -247,3 +247,65 @@ def read_media_dir(spark, path: str) -> DataFrame:
         F.length(F.col("content")).cast("int").alias("n_bytes"),
         F.col("content").alias("payload"),
     )
+
+
+AUDIO_SCHEMA = (
+    "media_ref string, win_idx int, n_windows int, "
+    "sum_abs int, peak int, n_loud int"
+)
+
+
+def extract_audio_windows(audio: DataFrame, k: int = 4) -> DataFrame:
+    """Audio window sampling — the third modality next to image decode
+    (extract_media_features) and video frame sampling (sample_frames):
+    k uniformly-spaced 1-second windows per audio row (``win_idx =
+    i * n_windows div k``), each window's PCM decoded through the same
+    pluggable codec and reduced to amplitude features (sum of absolute
+    centered amplitude, peak, loud-sample count at |a| >= 64).
+
+    The codec is STUBBED like every decoder here: window w of a payload
+    decodes as ``_DECODER(payload + b":w:" + str(w), 16, 1)`` — 16
+    uint8 samples standing in for one window of PCM; a real libsndfile/
+    ffmpeg audio decoder drops in via ``register_decoder`` with the
+    same per-window contract.  ``n_windows`` is an input column (real
+    pipelines read duration from container metadata, not by decoding).
+
+    Scale shape: identical to sample_frames — decode dominates, so rows
+    hash-repartition before the kernel; sampling k of N windows bounds
+    work per row, so a 10-hour podcast can't become a straggler task.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_ref": [], "win_idx": [], "n_windows": [],
+                "sum_abs": [], "peak": [], "n_loud": [],
+            }
+            for ref, nw, payload in zip(
+                pdf["media_ref"], pdf["n_windows"], pdf["payload"]
+            ):
+                for i in range(k):
+                    w = (i * int(nw)) // k
+                    samples = _DECODER(
+                        bytes(payload) + f":w:{w}".encode(), 16, 1
+                    ).reshape(-1).astype(np.int64)
+                    a = np.abs(samples - 128)
+                    out["media_ref"].append(ref)
+                    out["win_idx"].append(w)
+                    out["n_windows"].append(int(nw))
+                    out["sum_abs"].append(int(a.sum()))
+                    out["peak"].append(int(a.max()))
+                    out["n_loud"].append(int((a >= 64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pd.Series(out["media_ref"], dtype=object),
+                    "win_idx": pd.Series(out["win_idx"], dtype="int32"),
+                    "n_windows": pd.Series(out["n_windows"], dtype="int32"),
+                    "sum_abs": pd.Series(out["sum_abs"], dtype="int32"),
+                    "peak": pd.Series(out["peak"], dtype="int32"),
+                    "n_loud": pd.Series(out["n_loud"], dtype="int32"),
+                }
+            )
+
+    shaped = audio.repartition(F.pmod(F.xxhash64("media_ref"), F.lit(64)))
+    return shaped.mapInPandas(run, schema=AUDIO_SCHEMA)

@@ -4308,6 +4308,69 @@ FROM ranked WHERE rn = 1
 )
 
 
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio window features (multimodal.extract_audio_windows): k=4
+    uniformly-spaced 1-second windows per audio row, each window's
+    stub-decoded PCM reduced to integer amplitude features (sum-abs,
+    peak, loud-sample count) — the audio modality next to image decode
+    (media_manifest/media_bg_mode) and video frames (frame_sample).
+    Audio rows are the arithmetic slice eid % 3 == 0 of the media table
+    with ``n_windows = 8 + (eid*11) % 56`` standing in for container
+    duration metadata.  The DuckDB oracle reproduces the fake per-window
+    decode arithmetically (the 16 bytes of md5(md5(ref) || ':w:' || w)),
+    so demux -> sample -> decode -> feature is value-checked per window
+    cross-engine."""
+    from .multimodal import extract_audio_windows
+
+    eid = F.substring("media_ref", 9, 32).cast("long")
+    audio = (
+        _media_dims(spark, sf_dir)
+        .filter((eid % 3) == 0)
+        .select(
+            "media_ref",
+            (F.lit(8) + (eid * 11) % 56).cast("int").alias("n_windows"),
+            F.encode(F.md5("media_ref"), "utf-8").alias("payload"),
+        )
+    )
+    return extract_audio_windows(audio, k=4)
+
+
+_AUDIO_BYTES_SQL = ", ".join(
+    f"abs(CAST(concat('0x', substr(hex2, {2 * j + 1}, 2)) AS INT) - 128)"
+    for j in range(16)
+)
+
+AUDIO_WINDOWS_SQL = (
+    _MEDIA_DIMS_CTE
+    + f"""
+, aud AS (
+  SELECT media_ref,
+    CAST(8 + (CAST(substr(media_ref, 9) AS BIGINT) * 11) % 56 AS INT)
+      AS n_windows
+  FROM media
+  WHERE (CAST(substr(media_ref, 9) AS BIGINT) % 3) = 0
+), wins AS (
+  SELECT media_ref, n_windows,
+    CAST((i * n_windows) // 4 AS INT) AS win_idx
+  FROM aud, unnest([0, 1, 2, 3]) t(i)
+), decoded AS (
+  SELECT media_ref, win_idx, n_windows,
+    [{_AUDIO_BYTES_SQL}] AS amps
+  FROM (
+    SELECT media_ref, win_idx, n_windows,
+      md5(concat(md5(media_ref), ':w:', CAST(win_idx AS VARCHAR))) AS hex2
+    FROM wins
+  )
+)
+SELECT media_ref, win_idx, n_windows,
+  CAST(list_sum(amps) AS INT) AS sum_abs,
+  CAST(list_max(amps) AS INT) AS peak,
+  CAST(len(list_filter(amps, a -> a >= 64)) AS INT) AS n_loud
+FROM decoded
+"""
+)
+
+
 def q_viz_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 visualization sink as a query: per-page SVG overlay (rect +
     kind-i label per block, layout.py:175-200) over the classified
@@ -7836,6 +7899,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corpus_rollup": (q_corpus_rollup, CORPUS_ROLLUP_SQL),
     "rolling_activity": (q_rolling_activity, ROLLING_ACTIVITY_SQL),
     "quality_deciles": (q_quality_deciles, QUALITY_DECILES_SQL),
+    "audio_windows": (q_audio_windows, AUDIO_WINDOWS_SQL),
     "cosine_topk": (q_cosine_topk, COSINE_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "quality_score": (q_quality_score, QUALITY_SQL),

@@ -92,6 +92,7 @@ SUBSET = [
     "corpus_rollup",
     "rolling_activity",
     "quality_deciles",
+    "audio_windows",
 ]
 
 
@@ -1639,3 +1640,32 @@ def test_quality_deciles_bucket_properties(spark, sf001_dir):
         assert sum(sizes) == (docs["lang"] == lang).sum()
         for i in range(len(g) - 1):
             assert g.iloc[i]["chars_max"] <= g.iloc[i + 1]["chars_min"]
+
+
+def test_audio_windows_hashlib_rederivation(spark, sf001_dir):
+    """Independent hashlib recomputation of EVERY audio window's
+    features: 16 PCM-stand-in bytes = md5(md5(ref) + ':w:' + w),
+    amplitude = |byte - 128| — sum/peak/loud-count must match the
+    kernel exactly, and each row must emit exactly k=4 windows at the
+    uniform indices."""
+    import hashlib
+
+    out = R.q_audio_windows(spark, sf001_dir).toPandas()
+    assert len(out) > 0
+    per_ref = out.groupby("media_ref").size()
+    assert (per_ref == 4).all()
+    for _, r in out.iterrows():
+        seed = hashlib.md5(r["media_ref"].encode()).hexdigest()
+        digest = hashlib.md5(
+            (seed + f":w:{int(r['win_idx'])}").encode()
+        ).digest()
+        amps = [abs(b - 128) for b in digest]
+        assert int(r["sum_abs"]) == sum(amps)
+        assert int(r["peak"]) == max(amps)
+        assert int(r["n_loud"]) == sum(1 for a in amps if a >= 64)
+    # uniform sampling rule: win_idx = i * n_windows div 4
+    for ref, g in out.groupby("media_ref"):
+        nw = int(g["n_windows"].iloc[0])
+        assert sorted(g["win_idx"]) == sorted(
+            (i * nw) // 4 for i in range(4)
+        )
