@@ -1547,6 +1547,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_clusters' documented general-graph swap-in, actually
+    wired: the SAME minhash candidate pairs grouped into components by
+    alternating large-star/small-star contraction (Kiveris et al.
+    SoCC'14, graph.connected_components_star) instead of min-label
+    propagation.  Propagation needs DIAMETER rounds — right for
+    near-clique LSH clusters (1-3), hopeless for long-chain graphs;
+    star contraction converges in O(log n) rounds on any graph with
+    the same join + combinable-min primitives and edge-list-sized
+    shuffles.  Output contract and DuckDB oracle (recursive-CTE
+    fixpoint) are identical to dedup_clusters — the two distributed
+    algorithms are cross-checked against each other AND against the
+    independent engine."""
+    from .graph import connected_components_star
+
+    pairs = q_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components_star(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical representative per near-dup cluster: keep the longest
     text (quality proxy), tie-broken by min doc_id; ``n_members - 1``
@@ -7892,6 +7912,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "minhash_pairs": (q_minhash_pairs, MINHASH_SQL),
     "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_clusters_star": (q_dedup_clusters_star, DEDUP_CLUSTERS_SQL),
     "dedup_canonical": (q_dedup_canonical, DEDUP_CANONICAL_SQL),
     "simhash_buckets": (q_simhash_buckets, SIMHASH_SQL),
     "simhash_pairs": (q_simhash_pairs, SIMHASH_PAIRS_SQL),

@@ -96,3 +96,47 @@ def test_cluster_queries_consistent(spark, sf001_dir):
     assert (
         cc.groupby("component")["doc_id"].min() == members.index
     ).all()
+
+
+def _cc_star(spark, edges):
+    from latyas_spark.relational.graph import connected_components_star
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = connected_components_star(df).collect()
+    return {r["node"]: r["component"] for r in got}
+
+
+def test_star_matches_union_find_on_random_graph(spark):
+    """Star contraction against the pure-python union-find oracle AND
+    against min-label propagation on the same random graph — the two
+    distributed algorithms must agree node-for-node."""
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(80)]
+    want = _uf_components(edges)
+    star = _cc_star(spark, edges)
+    assert star == want
+    assert star == _cc(spark, edges)
+
+
+def test_star_converges_on_long_chain_where_propagation_cannot(spark):
+    """The swap-in's reason to exist, pinned: a 40-node path (diameter
+    39) exceeds propagation's MAX_CC_ROUNDS backstop, but star
+    contraction labels it correctly in O(log n) rounds."""
+    from latyas_spark.relational.graph import MAX_CC_ROUNDS
+
+    n = 40
+    assert n - 1 > MAX_CC_ROUNDS
+    # min id pinned to one END of the path: label distance to the far
+    # end is n-1 hops, the true worst case for propagation (a shuffled
+    # mid-path min would halve it under the backstop)
+    rng = random.Random(11)
+    rest = [f"p{i:03d}" for i in range(1, n)]
+    rng.shuffle(rest)
+    ids = ["p000"] + rest
+    edges = list(zip(ids, ids[1:]))
+    got = _cc_star(spark, edges)
+    root = min(ids)
+    assert got == {i: root for i in ids}
+    with pytest.raises(RuntimeError):
+        _cc(spark, edges)
