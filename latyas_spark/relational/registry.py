@@ -7894,6 +7894,147 @@ FROM scored GROUP BY lang, decile
 """
 
 
+# stitch_fragments constants: overlap words a true split shares, the
+# minimum doc width that yields two viable fragments, and the df cap
+# per boundary fingerprint (a viral boilerplate opening would
+# otherwise pair quadratically — the minhash/ngram cap discipline).
+_STITCH_OV = 8
+_STITCH_MIN_W = 24
+_STITCH_CAP = 64
+
+
+def q_stitch_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-stitch detection — reassembling documents a crawler or
+    pagination split into fragments (page-2-of-article, truncated
+    fetches re-crawled with overlap): fragment A continues into
+    fragment B iff A's last ``_STITCH_OV`` words equal B's first
+    ``_STITCH_OV`` words.  The corpus has no natural splits, so each
+    doc first derives its OWN deterministic fragment pair (the
+    dehyphenate/dedup_incremental inline-variant pattern): words split
+    at the midpoint h = nw div 2 with the overlap region duplicated —
+    A = w[1..h+OV] (frag_id = 2*doc_id), B = w[h+1..nw] (2*doc_id+1) —
+    so every doc >= ``_STITCH_MIN_W`` words plants exactly one true
+    stitch whose reassembled width is provably the original doc width:
+    (h+OV) + (nw-h) - OV = nw.  Detection never sees doc_id — only
+    boundary fingerprints.
+
+    Emits (left_frag, right_frag, n_words_stitched) for every
+    tail-fp == head-fp match (md5 over the space-joined overlap
+    window; chance 8-word collisions are admitted identically by both
+    engines).
+
+    100 TB shape: fingerprinting is a doc-local projection (zero
+    shuffle); the only corpus-sized exchange is ONE equi-join on the
+    16-byte fingerprint key; both join inputs carry (frag_id, fp, m)
+    only — never text; hot fingerprints (boilerplate openings) are
+    df-capped at ``_STITCH_CAP`` BEFORE the join on both sides, so no
+    bucket explodes quadratically."""
+    docs = _read(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.split(F.trim("text"), " +").alias("w"),
+        )
+        .withColumn("nw", F.size("w"))
+        .filter(F.col("nw") >= _STITCH_MIN_W)
+        .withColumn("h", F.expr("nw div 2"))
+    )
+    frag_a = base.select(
+        (F.col("doc_id") * 2).alias("frag_id"),
+        F.expr(f"slice(w, 1, h + {_STITCH_OV})").alias("fw"),
+    )
+    frag_b = base.select(
+        (F.col("doc_id") * 2 + 1).alias("frag_id"),
+        F.expr("slice(w, h + 1, nw - h)").alias("fw"),
+    )
+    fp = (
+        frag_a.unionByName(frag_b)
+        .select(
+            "frag_id",
+            F.size("fw").cast("long").alias("m"),
+            F.md5(
+                F.concat_ws(" ", F.expr(f"slice(fw, 1, {_STITCH_OV})"))
+            ).alias("head_fp"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        f"slice(fw, size(fw) - {_STITCH_OV} + 1,"
+                        f" {_STITCH_OV})"
+                    ),
+                )
+            ).alias("tail_fp"),
+        )
+    )
+    head_ok = (
+        fp.groupBy("head_fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= _STITCH_CAP)
+        .select("head_fp")
+    )
+    tail_ok = (
+        fp.groupBy("tail_fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= _STITCH_CAP)
+        .select("tail_fp")
+    )
+    lhs = fp.join(tail_ok, "tail_fp").select(
+        F.col("frag_id").alias("left_frag"),
+        F.col("m").alias("lm"),
+        F.col("tail_fp").alias("fp"),
+    )
+    rhs = fp.join(head_ok, "head_fp").select(
+        F.col("frag_id").alias("right_frag"),
+        F.col("m").alias("rm"),
+        F.col("head_fp").alias("fp"),
+    )
+    return (
+        lhs.join(rhs, "fp")
+        .filter(F.col("left_frag") != F.col("right_frag"))
+        .select(
+            "left_frag",
+            "right_frag",
+            (F.col("lm") + F.col("rm") - _STITCH_OV)
+            .cast("long")
+            .alias("n_words_stitched"),
+        )
+    )
+
+
+STITCH_FRAGMENTS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+  FROM documents
+), b AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, w, len(w) AS nw,
+         len(w) // 2 AS h
+  FROM d WHERE len(w) >= {_STITCH_MIN_W}
+), fr AS (
+  SELECT doc_id * 2 AS frag_id, w[1 : h + {_STITCH_OV}] AS fw FROM b
+  UNION ALL
+  SELECT doc_id * 2 + 1, w[h + 1 : nw] FROM b
+), fp AS (
+  SELECT frag_id, CAST(len(fw) AS BIGINT) AS m,
+    md5(array_to_string(fw[1 : {_STITCH_OV}], ' ')) AS head_fp,
+    md5(array_to_string(
+      fw[len(fw) - {_STITCH_OV} + 1 : len(fw)], ' ')) AS tail_fp
+  FROM fr
+), head_ok AS (
+  SELECT head_fp FROM fp GROUP BY head_fp
+  HAVING COUNT(*) <= {_STITCH_CAP}
+), tail_ok AS (
+  SELECT tail_fp FROM fp GROUP BY tail_fp
+  HAVING COUNT(*) <= {_STITCH_CAP}
+)
+SELECT a.frag_id AS left_frag, c.frag_id AS right_frag,
+  CAST(a.m + c.m - {_STITCH_OV} AS BIGINT) AS n_words_stitched
+FROM fp a
+JOIN tail_ok t ON a.tail_fp = t.tail_fp
+JOIN fp c ON a.tail_fp = c.head_fp AND a.frag_id <> c.frag_id
+JOIN head_ok h2 ON c.head_fp = h2.head_fp
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -7920,6 +8061,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corpus_rollup": (q_corpus_rollup, CORPUS_ROLLUP_SQL),
     "rolling_activity": (q_rolling_activity, ROLLING_ACTIVITY_SQL),
     "quality_deciles": (q_quality_deciles, QUALITY_DECILES_SQL),
+    "stitch_fragments": (q_stitch_fragments, STITCH_FRAGMENTS_SQL),
     "audio_windows": (q_audio_windows, AUDIO_WINDOWS_SQL),
     "cosine_topk": (q_cosine_topk, COSINE_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),

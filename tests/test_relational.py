@@ -92,6 +92,7 @@ SUBSET = [
     "corpus_rollup",
     "rolling_activity",
     "quality_deciles",
+    "stitch_fragments",
     "audio_windows",
 ]
 
