@@ -8035,6 +8035,452 @@ JOIN head_ok h2 ON c.head_fp = h2.head_fp
 """
 
 
+# -- filter cascade (staged curation funnel) --------------------------------
+
+
+def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged curation funnel every production pipeline publishes
+    (Dolma/RefinedWeb-style): apply the standard filter chain in order
+    — (1) language ID, (2) length band, (3) quality heuristics,
+    (4) within-doc repetition, (5) exact dedup (first occurrence wins,
+    computed among stage-4 SURVIVORS, as real pipelines dedup the
+    filtered set) — and report one row per stage with in/kept/dropped
+    counts and the kept rate.  Stages reuse the exact predicates of
+    q_langid / q_quality_score / q_rep_ngrams / q_dedup_exact so the
+    funnel is the composition of the shipped operators, not a fork.
+
+    100 TB shape: flags 1-4 are doc-local projections (zero shuffle,
+    whole-stage codegen); stage 5 is ONE window over the content
+    fingerprint (the same single exchange exact dedup costs anyway);
+    the funnel itself is a combinable 1-row aggregate unpivoted to 5
+    output rows — no per-stage re-scan of the corpus (a naive chain of
+    5 filters re-reads the input 5 times; this reads it once)."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " +")
+    n_words = F.size(words)
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "of", "and", "to"))
+    )
+    n_sym = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    )
+    grams = F.expr(
+        "CASE WHEN size(ws) < 3 THEN cast(array() as array<string>) "
+        "ELSE transform(sequence(0, size(ws) - 3), "
+        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) END"
+    )
+    pred_en = F.col("text").rlike("(^| )(the|and|of|a)( |$)") & ~F.col(
+        "text"
+    ).rlike("[\\u4e00-\\u9fff]")
+    mean_wl = F.length(F.regexp_replace("text", " ", "")) / n_words
+    flags = docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        pred_en.alias("f1"),
+        ((n_words >= 10) & (n_words <= 1000)).alias("f2"),
+        (
+            (mean_wl >= 2.0)
+            & (mean_wl <= 12.0)
+            & (n_sym / F.length("text") <= 0.2)
+        ).alias("f3"),
+        words.alias("ws"),
+    ).select(
+        "doc_id",
+        "fp",
+        "f1",
+        "f2",
+        "f3",
+        grams.alias("grams"),
+    ).select(
+        "doc_id",
+        "fp",
+        "f1",
+        "f2",
+        "f3",
+        (
+            (F.size("grams") == 0)
+            | (
+                (F.size("grams") - F.size(F.array_distinct("grams")))
+                / F.size("grams")
+                <= 0.3
+            )
+        ).alias("f4"),
+    )
+    s4 = F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4")
+    wfp = Window.partitionBy("fp")
+    flags = flags.select(
+        "*",
+        (
+            F.col("doc_id")
+            == F.min(F.when(s4, F.col("doc_id"))).over(wfp)
+        ).alias("f5"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("f1").cast("long")).alias("n1"),
+        F.sum((F.col("f1") & F.col("f2")).cast("long")).alias("n2"),
+        F.sum((F.col("f1") & F.col("f2") & F.col("f3")).cast("long")).alias(
+            "n3"
+        ),
+        F.sum(s4.cast("long")).alias("n4"),
+        F.sum((s4 & F.col("f5")).cast("long")).alias("n5"),
+    )
+    out = agg.select(
+        F.expr(
+            "stack(5,"
+            " 1, 'langid',     n0, n1,"
+            " 2, 'length',     n1, n2,"
+            " 3, 'quality',    n2, n3,"
+            " 4, 'repetition', n3, n4,"
+            " 5, 'exact_dedup', n4, n5"
+            ") AS (stage, stage_name, n_in, n_kept)"
+        )
+    )
+    return out.select(
+        F.col("stage").cast("long").alias("stage"),
+        "stage_name",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        (F.col("n_in") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        F.when(F.col("n_in") == 0, F.lit(1.0))
+        .otherwise(F.round(F.col("n_kept") / F.col("n_in"), 6))
+        .alias("kept_rate"),
+    )
+
+
+FILTER_CASCADE_SQL = r"""
+WITH f AS (
+  SELECT doc_id, md5(text) AS fp,
+    regexp_matches(text, '(^| )(the|and|of|a)( |$)')
+      AND NOT regexp_matches(text, '[一-鿿]') AS f1,
+    len(string_split_regex(trim(text), ' +')) AS n_words,
+    string_split_regex(trim(text), ' +') AS ws,
+    length(replace(text, ' ', ''))
+      / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE)
+      AS mean_wl,
+    (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+      / CAST(length(text) AS DOUBLE) AS sym_ratio
+  FROM documents
+), g AS (
+  SELECT doc_id, fp, f1,
+    (n_words >= 10 AND n_words <= 1000) AS f2,
+    (mean_wl >= 2.0 AND mean_wl <= 12.0 AND sym_ratio <= 0.2) AS f3,
+    CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END AS grams
+  FROM f
+), h AS (
+  SELECT doc_id, fp, f1, f2, f3,
+    (len(grams) = 0 OR
+     (len(grams) - len(list_distinct(grams)))
+       / CAST(len(grams) AS DOUBLE) <= 0.3) AS f4
+  FROM g
+), i AS (
+  SELECT *,
+    f1 AND f2 AND f3 AND f4 AS s4,
+    doc_id = MIN(CASE WHEN f1 AND f2 AND f3 AND f4 THEN doc_id END)
+               OVER (PARTITION BY fp) AS f5
+  FROM h
+), a AS (
+  SELECT COUNT(*) AS n0,
+    SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS n2,
+    SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS n3,
+    SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS n4,
+    SUM(CASE WHEN s4 AND f5 THEN 1 ELSE 0 END) AS n5
+  FROM i
+), u AS (
+  SELECT 1 AS stage, 'langid' AS stage_name, n0 AS n_in, n1 AS n_kept FROM a
+  UNION ALL SELECT 2, 'length', n1, n2 FROM a
+  UNION ALL SELECT 3, 'quality', n2, n3 FROM a
+  UNION ALL SELECT 4, 'repetition', n3, n4 FROM a
+  UNION ALL SELECT 5, 'exact_dedup', n4, n5 FROM a
+)
+SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+  CAST(n_in AS BIGINT) AS n_in,
+  CAST(n_kept AS BIGINT) AS n_kept,
+  CAST(n_in - n_kept AS BIGINT) AS n_dropped,
+  CASE WHEN n_in = 0 THEN 1.0
+       ELSE round(CAST(n_kept AS DOUBLE) / n_in, 6) END AS kept_rate
+FROM u
+"""
+
+
+# -- bigram LM scoring (Stupid Backoff, octave-quantized) -------------------
+
+_BG_MIN_CNT = 2  # bigram table frequency floor
+_BG_BACKOFF = 2  # backoff penalty in octaves (factor-4 discount)
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-sensitive LM quality scoring: a corpus-trained BIGRAM
+    model with Stupid Backoff (Brants et al. 2007) as the deterministic
+    stand-in for KenLM — the upgrade over q_perplexity_bucket's unigram
+    scorer.  Per bigram position: if (w1,w2) is in the pruned bigram
+    table, bits = octave(c(w1)) - octave(c(w1,w2)) (the quantized
+    conditional surprisal); else if w2 is in the unigram vocab, back
+    off to its unigram bits + {_BG_BACKOFF} octaves; else OOV.  Output
+    per doc: mean milli-bits, bigram-position count, bigram-table hit
+    count and hit rate.
+
+    Integer-exact across engines: every per-position score is a
+    difference of ``floor(log2(int64))`` octaves (see _ppl_per_doc's
+    precision note), the per-doc mean is ``sum*1000 div n``, and the
+    hit rate is an exact int ratio rounded to 6dp.
+
+    100 TB shape: bigrams are derived DOC-LOCALLY (a higher-order
+    transform over the split array — no positional self-join, zero
+    shuffle before counting); training is two combinable count aggs;
+    both LM tables are pruned by frequency floors and broadcast to
+    score the stream — exactly how CCNet ships its pruned KenLM to
+    every worker — so the corpus shuffles once (the per-doc sum)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " +").alias("w")
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    tokens = docs.select("doc_id", F.explode("w").alias("word"))
+    wc = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = wc.agg(F.sum("cnt").alias("t")).select(
+        F.floor(F.log2("t")).cast("long").alias("bbudget")
+    )
+    vocab = (
+        wc.filter(F.col("cnt") >= _PPL_MIN_CNT)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "word",
+            (
+                F.col("bbudget")
+                - F.floor(F.log2("cnt")).cast("long")
+                + F.lit(_BG_BACKOFF)
+            ).alias("backoff_bits"),
+            F.floor(F.log2("cnt")).cast("long").alias("c1_oct"),
+        )
+    )
+    bgc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= _BG_MIN_CNT)
+        .join(
+            F.broadcast(vocab.select(F.col("word").alias("w1"), "c1_oct")),
+            "w1",
+        )
+        .select(
+            "w1",
+            "w2",
+            (
+                F.col("c1_oct") - F.floor(F.log2("c12")).cast("long")
+            ).alias("hit_bits"),
+        )
+    )
+    scored = (
+        bg.join(F.broadcast(bgc), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(
+                vocab.select(F.col("word").alias("w2"), "backoff_bits")
+            ),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("hit_bits"),
+                F.col("backoff_bits"),
+                F.col("bbudget") + 1 + _BG_BACKOFF,
+            ).alias("bits"),
+            F.col("hit_bits").isNotNull().cast("long").alias("hit"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.expr("sum(bits) * 1000 div count(1)").alias("mbits"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.round(F.sum("hit") / F.count(F.lit(1)), 6).alias("hit_rate"),
+    )
+
+
+BIGRAM_LM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS word FROM d
+), wc AS (
+  SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word
+), tot AS (
+  SELECT CAST(floor(log2(SUM(cnt))) AS BIGINT) AS bbudget FROM wc
+), vocab AS (
+  SELECT word,
+    (SELECT bbudget FROM tot)
+      - CAST(floor(log2(cnt)) AS BIGINT) + {_BG_BACKOFF} AS backoff_bits,
+    CAST(floor(log2(cnt)) AS BIGINT) AS c1_oct
+  FROM wc WHERE cnt >= {_PPL_MIN_CNT}
+), pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM d
+), bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM pos
+), bgc AS (
+  SELECT b.w1, b.w2,
+    v.c1_oct - CAST(floor(log2(COUNT(*))) AS BIGINT) AS hit_bits
+  FROM bg b JOIN vocab v ON b.w1 = v.word
+  GROUP BY b.w1, b.w2, v.c1_oct
+  HAVING COUNT(*) >= {_BG_MIN_CNT}
+), sc AS (
+  SELECT bg.doc_id,
+    COALESCE(c.hit_bits, v2.backoff_bits,
+             (SELECT bbudget FROM tot) + 1 + {_BG_BACKOFF}) AS bits,
+    CASE WHEN c.hit_bits IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM bg
+  LEFT JOIN bgc c ON bg.w1 = c.w1 AND bg.w2 = c.w2
+  LEFT JOIN vocab v2 ON bg.w2 = v2.word
+)
+SELECT doc_id,
+  CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS mbits,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(hit) AS BIGINT) AS n_hits,
+  round(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS hit_rate
+FROM sc GROUP BY doc_id
+"""
+
+
+# -- reading-order evaluation (Kendall tau between reflow strategies) ------
+
+
+def q_reading_order_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall-tau agreement between the two implemented reflow
+    strategies — R2 grid sort (extent-scaled, xy_cut_reflow.py:14-37)
+    vs R3 position_reflow (page-scaled, position_reflow.py:8-21) — the
+    standard reading-order evaluation metric (Kendall 1938; used by
+    every layout-analysis benchmark to score predicted block order
+    against a reference order).  One row per page: block count, pair
+    counts, concordant/discordant, and tau = (C - D) / (n(n-1)/2).
+
+    100 TB shape: both rankings are single-window computations already
+    partitioned by (doc_id, page); the pair enumeration is a self-join
+    WITHIN a page, so cost is sum over pages of k^2 with k bounded by
+    blocks-per-page (a physical-layout constant, ~10^2) — never a
+    cross-page or cross-doc blowup.  tau is an exact-integer ratio
+    rounded to 6dp, so the hash compare is engine-stable."""
+    g = q_grid_rank(spark, sf_dir)
+    p = q_position_rank(spark, sf_dir)
+    j = g.join(p, ["doc_id", "page", "offset"]).select(
+        "doc_id", "page", "offset", "grid_rank", "position_rank"
+    )
+    a = j.alias("a")
+    b = j.alias("b")
+    conc = (
+        (F.col("a.grid_rank") < F.col("b.grid_rank"))
+        == (F.col("a.position_rank") < F.col("b.position_rank"))
+    ).cast("long")
+    pair_stats = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.page") == F.col("b.page"))
+            & (F.col("a.offset") < F.col("b.offset")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.page").alias("page"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(conc).alias("concordant"),
+        )
+    )
+    blocks = j.groupBy("doc_id", "page").agg(
+        F.count(F.lit(1)).alias("n_blocks")
+    )
+    out = blocks.join(pair_stats, ["doc_id", "page"], "left")
+    n_pairs = F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long")
+    concord = F.coalesce(F.col("concordant"), F.lit(0)).cast("long")
+    disc = (n_pairs - concord).cast("long")
+    return out.select(
+        "doc_id",
+        "page",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        n_pairs.alias("n_pairs"),
+        concord.alias("concordant"),
+        disc.alias("discordant"),
+        F.when(n_pairs == 0, F.lit(1.0))
+        .otherwise(F.round((concord - disc) / n_pairs, 6))
+        .alias("tau"),
+    )
+
+
+READING_ORDER_EVAL_SQL = (
+    _blocks_cte()
+    + """
+, ext AS (
+  SELECT *,
+    max(y2) OVER (PARTITION BY doc_id, page) - min(y1) OVER (PARTITION BY doc_id, page) AS h,
+    max(x2) OVER (PARTITION BY doc_id, page) - min(x1) OVER (PARTITION BY doc_id, page) AS w
+  FROM blocks
+), gq AS (
+  SELECT doc_id, page, "offset",
+    floor(x1 / greatest(floor(w/3), 1)) AS qx,
+    floor(y1 / greatest(floor(h/16), 1)) AS qy,
+    floor(x2 / greatest(floor(w/3), 1)) AS qx2,
+    floor(y2 / greatest(floor(h/16), 1)) AS qy2
+  FROM ext
+), gr AS (
+  SELECT doc_id, page, "offset",
+    row_number() OVER (PARTITION BY doc_id, page
+                       ORDER BY qx, qy, qx2, qy2, "offset") AS grid_rank
+  FROM gq
+), pq AS (
+  SELECT doc_id, page, "offset",
+    floor(x1 / 333) AS qx, floor(y1 / 4) AS qy,
+    floor(x2 / 333) AS qx2, floor(y2 / 4) AS qy2
+  FROM blocks
+), pr AS (
+  SELECT doc_id, page, "offset",
+    row_number() OVER (PARTITION BY doc_id, page
+                       ORDER BY qx, qy, qx2, qy2, "offset") AS position_rank
+  FROM pq
+), j AS (
+  SELECT gr.doc_id, gr.page, gr."offset", gr.grid_rank, pr.position_rank
+  FROM gr JOIN pr
+    ON gr.doc_id = pr.doc_id AND gr.page = pr.page
+   AND gr."offset" = pr."offset"
+), pair_stats AS (
+  SELECT a.doc_id, a.page,
+    COUNT(*) AS n_pairs,
+    SUM(CASE WHEN (a.grid_rank < b.grid_rank)
+                  = (a.position_rank < b.position_rank)
+             THEN 1 ELSE 0 END) AS concordant
+  FROM j a JOIN j b
+    ON a.doc_id = b.doc_id AND a.page = b.page
+   AND a."offset" < b."offset"
+  GROUP BY a.doc_id, a.page
+), blk AS (
+  SELECT doc_id, page, COUNT(*) AS n_blocks FROM j GROUP BY doc_id, page
+)
+SELECT blk.doc_id, blk.page,
+  CAST(blk.n_blocks AS BIGINT) AS n_blocks,
+  CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+  CAST(COALESCE(p.concordant, 0) AS BIGINT) AS concordant,
+  CAST(COALESCE(p.n_pairs, 0) - COALESCE(p.concordant, 0) AS BIGINT)
+    AS discordant,
+  CASE WHEN COALESCE(p.n_pairs, 0) = 0 THEN 1.0
+       ELSE round(
+         (COALESCE(p.concordant, 0)
+          - (COALESCE(p.n_pairs, 0) - COALESCE(p.concordant, 0)))
+         / CAST(p.n_pairs AS DOUBLE), 6)
+  END AS tau
+FROM blk LEFT JOIN pair_stats p
+  ON blk.doc_id = p.doc_id AND blk.page = p.page
+"""
+)
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -8143,6 +8589,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pagerank": (q_pagerank, PAGERANK_SQL),
     "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
     "dsir_weights": (q_dsir_weights, DSIR_WEIGHTS_SQL),
+    "reading_order_eval": (q_reading_order_eval, READING_ORDER_EVAL_SQL),
+    "bigram_lm_score": (q_bigram_lm_score, BIGRAM_LM_SQL),
+    "filter_cascade": (q_filter_cascade, FILTER_CASCADE_SQL),
 }
 
 
