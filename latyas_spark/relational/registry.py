@@ -8035,6 +8035,265 @@ JOIN head_ok h2 ON c.head_fp = h2.head_fp
 """
 
 
+# -- BPE trainer (unrolled merge rounds over the word-frequency table) ------
+
+_BPE_MIN_FREQ = 4  # training-vocab frequency floor
+_BPE_ROUNDS = 2  # unrolled merge rounds
+
+
+def _bpe_fold_expr() -> str:
+    """Greedy left-to-right single-pair merge as an array fold.  Exact
+    BPE-step semantics: scanning left to right, merge (best_a, best_b)
+    and continue AFTER the merged token (a merged token never re-pairs
+    in the same round, since concat(a,b) equals neither a nor b for
+    non-empty symbols) — verified against the ``[a,a,a] -> [aa,a]``
+    degenerate case in tests."""
+    return (
+        "aggregate(s, cast(array() as array<string>), (acc, x) ->"
+        " case when size(acc) > 0 and element_at(acc, -1) = best_a"
+        "           and x = best_b"
+        "      then concat(slice(acc, 1, size(acc) - 1),"
+        "                  array(concat(best_a, best_b)))"
+        "      else concat(acc, array(x)) end)"
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE TRAINING, {_BPE_ROUNDS} merge rounds unrolled
+    (Sennrich et al. 2016; the iterative loop whose inner step is
+    q_bpe_pair_counts): per round, count weighted adjacent symbol
+    pairs, pick the global argmax (count desc, then lexicographic —
+    deterministic tie-break), and apply the merge corpus-wide via an
+    exact greedy fold.  One output row per round: the merged pair, its
+    weighted count, and the symbol-vocabulary size after the merge.
+
+    100 TB shape: this is how real tokenizer trainers scale — ONE
+    corpus scan builds the word-frequency table (freq floor
+    {_BPE_MIN_FREQ}); every subsequent round operates on that
+    Zipf-bounded vocab frame, never on the corpus again.  The argmax
+    is a takeOrdered(1) over the pair-count agg (combinable, tiny
+    result); the merge applies as a broadcast-joined doc-local fold;
+    each round's symbol frame is localCheckpoint'ed so round r+1's
+    plan does not recompute round r."""
+    docs = _read(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " +")).alias("word")
+    )
+    wc = (
+        docs.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= _BPE_MIN_FREQ)
+    )
+    syms = wc.select("freq", F.split("word", "").alias("s")).localCheckpoint()
+    out = None
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(slice(s, 1, size(s) - 1),"
+                    " (x, i) -> struct(x AS p1,"
+                    " element_at(s, i + 2) AS p2))"
+                )
+            ).alias("p"),
+        )
+        cnt = pairs.groupBy(
+            F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2")
+        ).agg(F.sum("freq").alias("cnt"))
+        best = (
+            cnt.orderBy(F.desc("cnt"), "p1", "p2")
+            .limit(1)
+            .select(
+                F.col("p1").alias("best_a"),
+                F.col("p2").alias("best_b"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        syms = (
+            syms.crossJoin(F.broadcast(best.select("best_a", "best_b")))
+            .select("freq", F.expr(_bpe_fold_expr()).alias("s"))
+            .localCheckpoint()
+        )
+        vocab_after = syms.select(F.explode("s").alias("sym")).agg(
+            F.countDistinct("sym").alias("n_symbols_after")
+        )
+        row = best.crossJoin(vocab_after).select(
+            F.lit(rnd).cast("long").alias("round"),
+            "best_a",
+            "best_b",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.col("n_symbols_after").cast("long").alias("n_symbols_after"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _bpe_apply_cte(src: str, best: str, tag: str) -> str:
+    """Recursive-CTE single-pair merge: sentinel-delimited symbol
+    string, first occurrence replaced per step (equivalent to the
+    greedy fold — a merge never creates a new occurrence of the
+    pattern to its left, so repeated leftmost replacement IS the
+    left-to-right scan)."""
+    return f"""
+st{tag} AS (
+  SELECT freq, chr(31) || array_to_string(s, chr(31)) || chr(31) AS t
+  FROM {src}
+), pat{tag} AS (
+  SELECT chr(31) || p1 || chr(31) || p2 || chr(31) AS pat,
+         chr(31) || p1 || p2 || chr(31) AS rep
+  FROM {best}
+), m{tag} AS (
+  SELECT freq, t FROM st{tag}
+  UNION ALL
+  SELECT freq,
+    substring(t, 1, strpos(t, (SELECT pat FROM pat{tag})) - 1)
+      || (SELECT rep FROM pat{tag})
+      || substring(t, strpos(t, (SELECT pat FROM pat{tag}))
+                      + length((SELECT pat FROM pat{tag})))
+  FROM m{tag} WHERE strpos(t, (SELECT pat FROM pat{tag})) > 0
+), done{tag} AS (
+  SELECT freq,
+    string_split(substring(t, 2, length(t) - 2), chr(31)) AS s
+  FROM m{tag} WHERE strpos(t, (SELECT pat FROM pat{tag})) = 0
+)"""
+
+
+BPE_MERGES_SQL = f"""
+WITH RECURSIVE wc AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split_regex(text, ' +')) AS word FROM documents
+  ) GROUP BY word HAVING COUNT(*) >= {_BPE_MIN_FREQ}
+), init AS (
+  SELECT freq, string_split(word, '') AS s FROM wc
+), cnt1 AS (
+  SELECT s[i] AS p1, s[i + 1] AS p2, SUM(freq) AS cnt
+  FROM (SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i
+        FROM init)
+  GROUP BY 1, 2
+), best1 AS (
+  SELECT p1, p2, cnt FROM cnt1 ORDER BY cnt DESC, p1, p2 LIMIT 1
+),{_bpe_apply_cte("init", "best1", "1")}
+, cnt2 AS (
+  SELECT s[i] AS p1, s[i + 1] AS p2, SUM(freq) AS cnt
+  FROM (SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i
+        FROM done1)
+  GROUP BY 1, 2
+), best2 AS (
+  SELECT p1, p2, cnt FROM cnt2 ORDER BY cnt DESC, p1, p2 LIMIT 1
+),{_bpe_apply_cte("done1", "best2", "2")}
+SELECT CAST(1 AS BIGINT) AS round, p1 AS best_a, p2 AS best_b,
+  CAST(cnt AS BIGINT) AS pair_count,
+  (SELECT COUNT(DISTINCT sym)
+   FROM (SELECT unnest(s) AS sym FROM done1)) AS n_symbols_after
+FROM best1
+UNION ALL
+SELECT CAST(2 AS BIGINT), p1, p2, CAST(cnt AS BIGINT),
+  (SELECT COUNT(DISTINCT sym)
+   FROM (SELECT unnest(s) AS sym FROM done2))
+FROM best2
+"""
+
+
+# -- section assignment (heading-driven document structure) -----------------
+
+
+def q_section_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document structure extraction: assign every block to its
+    enclosing SECTION — the span opened by the most recent title block
+    in page-major reading order (the consumer of LATYAS's classified
+    layout: once blocks carry kinds, sectioning is what turns a flat
+    block stream into a navigable document tree; blocks before the
+    first title form the '<preamble>' section 0).  One row per
+    (doc, section): the opening title's text, block/text/media counts,
+    character total, and the page span the section covers.
+
+    100 TB shape: ONE window (running sum of title markers per doc in
+    reading order) plus one combinable groupBy on (doc_id, section_id)
+    — the window and the agg share the doc_id partitioning, so the
+    whole thing costs a single exchange; no self-join, no collect."""
+    b = synth_blocks(spark, sf_dir).withColumn("kind", _classify_col())
+    is_title = (F.col("kind") == "title").cast("long")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("page", "offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = b.select(
+        "doc_id",
+        "page",
+        "offset",
+        "kind",
+        "text",
+        "media_ref",
+        F.sum(is_title).over(w).alias("section_id"),
+        is_title.alias("is_title"),
+    )
+    return (
+        marked.groupBy("doc_id", "section_id")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("is_title") == 1, F.col("text"))),
+                F.lit("<preamble>"),
+            ).alias("section_title"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.col("text").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_text_blocks"),
+            F.sum(F.col("media_ref").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_media_blocks"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0))
+            .cast("long")
+            .alias("total_chars"),
+            F.min("page").cast("long").alias("first_page"),
+            F.max("page").cast("long").alias("last_page"),
+        )
+        .select(
+            "doc_id",
+            F.col("section_id").cast("long").alias("section_id"),
+            "section_title",
+            "n_blocks",
+            "n_text_blocks",
+            "n_media_blocks",
+            "total_chars",
+            "first_page",
+            "last_page",
+        )
+    )
+
+
+SECTION_ASSIGN_SQL = (
+    _blocks_cte()
+    + f"""
+, k AS (
+  SELECT doc_id, page, "offset", text, media_ref,
+    {CLASSIFY_SQL_CASE} AS kind
+  FROM blocks
+), m AS (
+  SELECT doc_id, page, "offset", text, media_ref,
+    CASE WHEN kind = 'title' THEN 1 ELSE 0 END AS is_title,
+    SUM(CASE WHEN kind = 'title' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY page, "offset"
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS section_id
+  FROM k
+)
+SELECT doc_id,
+  CAST(section_id AS BIGINT) AS section_id,
+  COALESCE(MAX(CASE WHEN is_title = 1 THEN text END), '<preamble>')
+    AS section_title,
+  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+  CAST(SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_text_blocks,
+  CAST(SUM(CASE WHEN media_ref IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_media_blocks,
+  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS total_chars,
+  CAST(MIN(page) AS BIGINT) AS first_page,
+  CAST(MAX(page) AS BIGINT) AS last_page
+FROM m GROUP BY doc_id, section_id
+"""
+)
+
+
 # -- filter cascade (staged curation funnel) --------------------------------
 
 
@@ -8592,6 +8851,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "reading_order_eval": (q_reading_order_eval, READING_ORDER_EVAL_SQL),
     "bigram_lm_score": (q_bigram_lm_score, BIGRAM_LM_SQL),
     "filter_cascade": (q_filter_cascade, FILTER_CASCADE_SQL),
+    "section_assign": (q_section_assign, SECTION_ASSIGN_SQL),
+    "bpe_merges": (q_bpe_merges, BPE_MERGES_SQL),
 }
 
 
