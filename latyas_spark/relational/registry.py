@@ -8740,6 +8740,416 @@ FROM blk LEFT JOIN pair_stats p
 )
 
 
+# -- kNN label propagation (semi-supervised weak labeling) ------------------
+
+LP_SEED_MOD = 4  # vec_id % 4 == 0 are the labeled seed set (25%)
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of kNN label propagation (Zhu & Ghahramani 2002, the
+    weak-supervision workhorse): a deterministic 25% seed slice
+    (vec_id % {MOD} == 0) keeps its gold label; every unlabeled vector
+    takes the cosine-weighted majority label of its seed neighbors
+    among its top-{K} kNN edges.  This is how a small human-labeled
+    set is stretched over a web-scale embedding corpus before training
+    a quality/topic classifier.
+
+    100 TB shape: reuses the shared LSH-candidate machinery
+    (_emb_knn_edges — bucket cap 64, so the edge list is bounded at
+    <= 8 bands x 64 per node, never quadratic); attaching seed labels
+    is ONE equi-join of that bounded edge list against the (vec_id,
+    label) projection; the vote is a combinable (vec_id, label)
+    aggregate + one per-node window.  Each extra propagation round is
+    the same bounded join again — rounds are linear, with no
+    all-pairs stage anywhere.
+
+    Cross-engine determinism: vote weights are floor(cos * 1e6) int64
+    (cos itself is an identical IEEE chain over exact-int quantized
+    inputs, see q_knn_graph), so weight SUMS are order-independent
+    integer math; argmax ties break on smallest label."""
+    edges = _emb_knn_edges(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    knn = (
+        edges.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+    )
+    seeds = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("seed_label"),
+    ).filter(F.col("nbr_id") % LP_SEED_MOD == 0)
+    votes = (
+        knn.filter(F.col("vec_id") % LP_SEED_MOD != 0)
+        .join(seeds, "nbr_id")
+        .select(
+            "vec_id",
+            "seed_label",
+            F.expr("cast(floor(cos * 1000000) as bigint)").alias("wq"),
+        )
+        .groupBy("vec_id", "seed_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_votes"),
+            F.sum("wq").alias("wsum"),
+        )
+    )
+    pick = Window.partitionBy("vec_id").orderBy(
+        F.desc("wsum"), F.asc("seed_label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("seed_label").alias("pred_label"),
+            F.col("n_votes").alias("n_seed_nbrs"),
+            F.col("wsum").alias("weight_sum"),
+        )
+    )
+
+
+q_label_propagation.__doc__ = q_label_propagation.__doc__.format(
+    MOD=LP_SEED_MOD, K=KNN_K
+)
+
+LABEL_PROPAGATION_SQL = f"""
+{_KNN_EDGES_SQL_BODY}, knn AS (
+  SELECT vec_id, nbr_id, cos FROM edges
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) <= {KNN_K}
+), votes AS (
+  SELECT k.vec_id, s.label AS seed_label,
+    CAST(COUNT(*) AS BIGINT) AS n_votes,
+    CAST(SUM(CAST(floor(cos * 1000000) AS BIGINT)) AS BIGINT) AS wsum
+  FROM knn k
+  JOIN embeddings s
+    ON s.vec_id = k.nbr_id AND s.vec_id % {LP_SEED_MOD} = 0
+  WHERE k.vec_id % {LP_SEED_MOD} <> 0
+  GROUP BY k.vec_id, s.label
+)
+SELECT vec_id,
+  CAST(seed_label AS INT) AS pred_label,
+  n_votes AS n_seed_nbrs,
+  wsum AS weight_sum
+FROM votes
+QUALIFY row_number() OVER (
+  PARTITION BY vec_id ORDER BY wsum DESC, seed_label ASC) = 1
+"""
+
+
+# -- first principal component via integer power iteration ------------------
+
+_PCA_Q = 1000  # embedding quantization for exact-int power iteration
+
+
+def _pca_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings quantized to exact int64 at 3 decimal digits — the
+    coarser lattice (vs _km_vectors' 1e6) keeps TWO chained
+    matrix-vector products inside int64: |x| <= Q, so a round-1 sum is
+    <= N*Q^2 (fits to N ~ 1e12 rows) and a round-2 term is
+    <= Q * (64*Q^2) = 6.4e10 per row (fits to N ~ 1e8 before a
+    double/tree-agg fallback would be needed — documented, not hit at
+    any test SF)."""
+    return _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {_PCA_Q}) as bigint))"
+        ).alias("iv"),
+    )
+
+
+def _pca_step(e: DataFrame) -> DataFrame:
+    """One power-iteration step: given rows (iv: array<bigint>, d:
+    bigint) where d = iv . v_prev, produce the single-row frame
+    {{v: array<bigint>}} with v = round(w / max|w| * Q) and
+    w_i = SUM(iv[i] * d) — the un-normalized next direction.
+
+    The per-dimension sums go through posexplode + groupBy(pos): a
+    64-key shuffle whose partial (map-side) aggregation reduces each
+    input partition to 64 rows before the exchange — at any corpus
+    size the shuffle moves O(64 x partitions) rows."""
+    comp = e.select("d", F.posexplode("iv").alias("pos", "x"))
+    sums = comp.groupBy("pos").agg(
+        F.sum(F.col("x") * F.col("d")).alias("s")
+    )
+    return (
+        sums.groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps")
+        )
+        .select(F.expr("transform(ps, p -> p.s)").alias("w"))
+        .select(
+            F.expr(
+                f"transform(w, x -> cast(round(cast(x as double)"
+                f" / cast(array_max(transform(w, y -> abs(y))) as double)"
+                f" * {_PCA_Q}) as bigint))"
+            ).alias("v")
+        )
+    )
+
+
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-component coordinate per embedding via TWO
+    unrolled power-iteration rounds (seed v0 = e_0) over the
+    UNCENTERED second-moment matrix — the standard cheap axis for
+    embedding sharding, curriculum binning, and drift monitoring
+    (a full PCA head would run the same step to convergence).
+
+    100 TB shape: each round is one scan with a map-side-combined
+    64-key aggregation (see _pca_step) followed by broadcasting the
+    64-element direction back — the corpus NEVER shuffles; three
+    scans total (two rounds + final projection).  No driver loop:
+    the rounds are unrolled into one lazy plan, like q_ann_kmeans's
+    Lloyd rounds.
+
+    Cross-engine determinism: ALL corpus-sized sums are int64 over
+    floor-quantized components (order-independent); the only floats
+    are the two per-dimension normalizations round(w/max|w| * Q) —
+    one identical IEEE divide/multiply chain on identical ints, with
+    HALF_UP rounding in both engines.  The output projection is an
+    exact int64 dot product."""
+    e = _pca_iv(spark, sf_dir)
+    v1 = _pca_step(e.withColumn("d", F.col("iv")[0]))
+    dot_v = (
+        "aggregate(zip_with(iv, v, (x, y) -> x * y),"
+        " cast(0 as bigint), (s, x) -> s + x)"
+    )
+    e2 = (
+        e.crossJoin(F.broadcast(v1))
+        .withColumn("d", F.expr(dot_v))
+        .drop("v")
+    )
+    v2 = _pca_step(e2)
+    return (
+        e.crossJoin(F.broadcast(v2))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(dot_v).alias("pc1_proj"),
+        )
+    )
+
+
+EMBED_PCA_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * {_PCA_Q}) AS BIGINT)) AS iv
+  FROM embeddings
+), idx AS (
+  SELECT CAST(unnest(range(1, 65)) AS INT) AS i
+), s1 AS (
+  SELECT i, CAST(SUM(iv[i] * iv[1]) AS BIGINT) AS s
+  FROM e, idx GROUP BY i
+), w1 AS (
+  SELECT list(s ORDER BY i) AS w FROM s1
+), v1 AS (
+  SELECT list_transform(w, x -> CAST(round(CAST(x AS DOUBLE)
+    / CAST(list_max(list_transform(w, y -> abs(y))) AS DOUBLE)
+    * {_PCA_Q}) AS BIGINT)) AS v
+  FROM w1
+), d1 AS (
+  SELECT vec_id, iv,
+    CAST(list_sum(list_transform(list_zip(iv, v),
+      p -> p[1] * p[2])) AS BIGINT) AS d
+  FROM e, v1
+), s2 AS (
+  SELECT i, CAST(SUM(iv[i] * d) AS BIGINT) AS s
+  FROM d1, idx GROUP BY i
+), w2 AS (
+  SELECT list(s ORDER BY i) AS w FROM s2
+), v2 AS (
+  SELECT list_transform(w, x -> CAST(round(CAST(x AS DOUBLE)
+    / CAST(list_max(list_transform(w, y -> abs(y))) AS DOUBLE)
+    * {_PCA_Q}) AS BIGINT)) AS v
+  FROM w2
+)
+SELECT vec_id, CAST(label AS INT) AS label,
+  CAST(list_sum(list_transform(list_zip(iv, v),
+    p -> p[1] * p[2])) AS BIGINT) AS pc1_proj
+FROM e, v2
+"""
+
+
+# -- last-touch event attribution --------------------------------------------
+
+_ATTR_WINDOW_SEC = 7 * 24 * 3600
+
+
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is attributed to the SAME
+    user's most recent strictly-preceding click within a 7-day window
+    (the standard marketing/conversion-analytics shape; unattributed
+    purchases emit -1 sentinels so the output is NULL-free for
+    cross-engine hashing).
+
+    100 TB shape: one filter to the two relevant event types, ONE
+    hash-partition by user_id, and a running last-non-null window —
+    no self-join of the event log (a naive click x purchase range
+    join is quadratic in events-per-user; this is linear).  The same
+    single exchange funnel_steps/sessionize already pay.
+
+    Cross-engine determinism: window order is (ts, event_id) — ties
+    on microsecond timestamps break on the id; gap seconds are
+    floor-of-epoch differences (Spark cast(ts as long) and DuckDB
+    date_diff('second') both count whole-second boundaries)."""
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(
+                F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.col("lc.cts"))
+    attributed = F.col("lc").isNotNull() & (gap <= _ATTR_WINDOW_SEC)
+    return (
+        ev.withColumn("lc", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.when(attributed, F.col("lc.cid"))
+            .otherwise(F.lit(-1).cast("long"))
+            .alias("click_id"),
+            F.when(attributed, gap)
+            .otherwise(F.lit(-1).cast("long"))
+            .alias("gap_sec"),
+            F.round("value", 2).alias("amount"),
+        )
+    )
+
+
+EVENT_ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  WHERE event_type IN ('click', 'purchase')
+), lc AS (
+  SELECT event_id, ts, user_id, event_type, value,
+    last_value(CASE WHEN event_type = 'click'
+        THEN struct_pack(cts := ts, cid := event_id) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS l
+  FROM ev
+)
+SELECT event_id, user_id,
+  -- floor(epoch()) matches Spark's whole-second unix_timestamp()
+  -- (same convention as the sessionize oracle)
+  CASE WHEN l IS NOT NULL
+        AND CAST(floor(epoch(ts)) AS BIGINT)
+            - CAST(floor(epoch(l.cts)) AS BIGINT) <= {_ATTR_WINDOW_SEC}
+       THEN l.cid ELSE CAST(-1 AS BIGINT) END AS click_id,
+  CASE WHEN l IS NOT NULL
+        AND CAST(floor(epoch(ts)) AS BIGINT)
+            - CAST(floor(epoch(l.cts)) AS BIGINT) <= {_ATTR_WINDOW_SEC}
+       THEN CAST(floor(epoch(ts)) AS BIGINT)
+            - CAST(floor(epoch(l.cts)) AS BIGINT)
+       ELSE CAST(-1 AS BIGINT) END AS gap_sec,
+  round(value, 2) AS amount
+FROM lc WHERE event_type = 'purchase'
+"""
+
+
+# -- template coverage vs top-K corpus n-grams -------------------------------
+
+_COV_TOP = 1000  # top-K corpus 3-grams = the "template" set
+
+
+def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template coverage: the fraction of a document's word-3-grams
+    that fall in the corpus-wide top-{TOP} most frequent 3-grams — a
+    high value means the document is assembled from corpus-common
+    phrasing (boilerplate/template suspect; the doc-level complement
+    of header_footer_strip's page-level detector), a low value means
+    novel text.  Docs with fewer than 3 words have no 3-grams and are
+    absent.
+
+    100 TB shape: gram counting is one map-side-combined groupBy; the
+    top-K set comes from Spark's TakeOrderedAndProject (per-partition
+    partial top-K, NEVER a single-partition global sort) and is then
+    BROADCAST back — the corpus-sized gram stream is joined against a
+    1000-row hash set, zero extra shuffle.
+
+    Cross-engine determinism: the K-th rank tie breaks on (count
+    desc, gram asc); coverage is an integer ratio rounded at 6dp."""
+    docs = _read(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.split(F.trim("text"), " +").alias("wd"),
+        )
+        .filter(F.size("wd") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(wd) - 3),"
+                    " i -> concat_ws(' ', wd[i], wd[i+1], wd[i+2]))"
+                )
+            ).alias("g"),
+        )
+    )
+    top = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("g"))
+        .limit(_COV_TOP)
+        .select(F.col("g").alias("tg"))
+    )
+    return (
+        grams.join(F.broadcast(top), grams.g == top.tg, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.col("tg").isNotNull().cast("long")).alias("n_in_top"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_in_top",
+            F.round(F.col("n_in_top") / F.col("n_grams"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+q_ngram_coverage.__doc__ = q_ngram_coverage.__doc__.format(TOP=_COV_TOP)
+
+NGRAM_COVERAGE_SQL = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split_regex(trim(text), ' +') AS wd
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    unnest(list_transform(range(len(wd) - 2),
+      i -> wd[i + 1] || ' ' || wd[i + 2] || ' ' || wd[i + 3])) AS g
+  FROM d WHERE len(wd) >= 3
+), top AS (
+  SELECT g FROM (SELECT g, COUNT(*) AS c FROM g GROUP BY g)
+  ORDER BY c DESC, g ASC LIMIT {_COV_TOP}
+)
+SELECT g.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN t.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_in_top,
+  round(CAST(SUM(CASE WHEN t.g IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+    / COUNT(*), 6) AS coverage
+FROM g LEFT JOIN top t ON t.g = g.g
+GROUP BY g.doc_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -8853,6 +9263,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "filter_cascade": (q_filter_cascade, FILTER_CASCADE_SQL),
     "section_assign": (q_section_assign, SECTION_ASSIGN_SQL),
     "bpe_merges": (q_bpe_merges, BPE_MERGES_SQL),
+    "label_propagation": (q_label_propagation, LABEL_PROPAGATION_SQL),
+    "embed_pca": (q_embed_pca, EMBED_PCA_SQL),
+    "event_attribution": (q_event_attribution, EVENT_ATTRIBUTION_SQL),
+    "ngram_coverage": (q_ngram_coverage, NGRAM_COVERAGE_SQL),
 }
 
 
