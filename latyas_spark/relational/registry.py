@@ -8991,8 +8991,8 @@ def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine determinism: window order is (ts, event_id) — ties
     on microsecond timestamps break on the id; gap seconds are
-    floor-of-epoch differences (Spark cast(ts as long) and DuckDB
-    date_diff('second') both count whole-second boundaries)."""
+    floor-of-epoch differences (Spark unix_timestamp() and DuckDB
+    floor(epoch()) — the proven sessionize-oracle convention)."""
     ev = _read(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
