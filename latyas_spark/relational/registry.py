@@ -9150,6 +9150,159 @@ GROUP BY g.doc_id
 """
 
 
+# -- vocabulary growth curve (Heaps' law over 3-grams) -----------------------
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve over word-3-grams: how many
+    DISTINCT grams the corpus has accumulated after its first
+    1, 3, 7, 15, ... 2^(k+1)-1 documents (doc_id order).  The curve's
+    flattening point is the standard "is more data still adding new
+    content?" corpus-health signal; run on 3-grams rather than
+    unigrams because the synthetic vocabulary saturates at 31 words.
+
+    100 TB shape: the naive formulation (running COUNT(DISTINCT) over
+    a global doc order) is a global sort and cannot run at corpus
+    scale.  Instead each gram's FIRST document id is a combinable
+    MIN aggregate (one shuffle on the gram key, map-side combined),
+    the power-of-two bucket comes from integer bit-length arithmetic
+    (length(bin(x)) — no float log2), and the cumulative sum runs on
+    the BUCKET-SPACE-SIZED frame (<= 64 rows at any corpus size; the
+    same key-space-cumsum trick as corpus_select).
+
+    Cross-engine determinism: all integer; bin()/length() agree
+    between engines; prefix_docs caps at the corpus size."""
+    docs = _read(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.split(F.trim("text"), " +").alias("wd"),
+    ).filter(F.size("wd") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(wd) - 3),"
+                " i -> concat_ws(' ', wd[i], wd[i+1], wd[i+2]))"
+            )
+        ).alias("g"),
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_id"))
+    buckets = first.select(
+        (F.length(F.bin(F.col("first_id") + 1)) - 1).alias("bucket")
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("new_grams")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        buckets.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.expr(
+                "cast(least(shiftleft(cast(1 as bigint), bucket + 1) - 1,"
+                " n_docs) as bigint)"
+            ).alias("prefix_docs"),
+            "new_grams",
+        )
+        .withColumn("cum_vocab", F.sum("new_grams").over(w))
+    )
+
+
+VOCAB_GROWTH_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS wd
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    unnest(list_transform(range(len(wd) - 2),
+      i -> wd[i + 1] || ' ' || wd[i + 2] || ' ' || wd[i + 3])) AS g
+  FROM d WHERE len(wd) >= 3
+), first AS (
+  SELECT g, MIN(doc_id) AS first_id FROM g GROUP BY g
+), buckets AS (
+  SELECT length(bin(first_id + 1)) - 1 AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS new_grams
+  FROM first GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT CAST(bucket AS INT) AS bucket,
+  CAST(least((CAST(1 AS BIGINT) << (bucket + 1)) - 1, n_docs) AS BIGINT)
+    AS prefix_docs,
+  new_grams,
+  CAST(SUM(new_grams) OVER (ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_vocab
+FROM buckets, n
+"""
+
+
+# -- snapshot diff (CDC-style change report between two corpus versions) ----
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change report between two corpus snapshots — the primitive an
+    incremental recrawl/ingest pipeline runs before reprocessing:
+    classify every doc_id as added / deleted / modified / unchanged
+    by fingerprint comparison.  The two snapshots are derived
+    deterministically from the one driver table ("old" drops
+    doc_id % 11 == 3 and carries a stale uppercased body for
+    doc_id % 11 == 5; "new" drops doc_id % 13 == 7), so the query
+    exercises all four outcomes with no external data.
+
+    100 TB shape: ONE full outer equi-join on doc_id comparing
+    map-side md5 fingerprints — with both snapshots stored bucketed
+    by doc_id (warehouse.py's layout) this is a zero-Exchange
+    sort-merge join; there is no content shuffle, only fingerprints
+    move.  Downstream, only 'added'+'modified' rows feed
+    re-extraction (cost proportional to the delta, the same argument
+    as dedup_incremental)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.md5(F.upper("text")).alias("fp_stale"),
+    )
+    old = docs.filter(F.col("doc_id") % 11 != 3).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 5, F.col("fp_stale"))
+        .otherwise(F.col("fp"))
+        .alias("fp_old"),
+    )
+    new = docs.filter(F.col("doc_id") % 13 != 7).select(
+        "doc_id", F.col("fp").alias("fp_new")
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("deleted"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH docs AS (
+  SELECT doc_id, md5(text) AS fp, md5(upper(text)) AS fp_stale
+  FROM documents
+), old AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 5 THEN fp_stale ELSE fp END AS fp_old
+  FROM docs WHERE doc_id % 11 <> 3
+), new AS (
+  SELECT doc_id, fp AS fp_new FROM docs WHERE doc_id % 13 <> 7
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+  CASE WHEN fp_old IS NULL THEN 'added'
+       WHEN fp_new IS NULL THEN 'deleted'
+       WHEN fp_old <> fp_new THEN 'modified'
+       ELSE 'unchanged' END AS change_type
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -9267,6 +9420,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embed_pca": (q_embed_pca, EMBED_PCA_SQL),
     "event_attribution": (q_event_attribution, EVENT_ATTRIBUTION_SQL),
     "ngram_coverage": (q_ngram_coverage, NGRAM_COVERAGE_SQL),
+    "vocab_growth": (q_vocab_growth, VOCAB_GROWTH_SQL),
+    "snapshot_diff": (q_snapshot_diff, SNAPSHOT_DIFF_SQL),
 }
 
 

@@ -204,3 +204,74 @@ def test_ngram_coverage_rederivation(spark, sf001_dir):
         assert abs(r["coverage"] - round(hits / len(gs), 6)) < 1e-9
     # non-vacuity: coverage actually varies across the corpus
     assert out["coverage"].nunique() > 1
+
+
+# -- vocab_growth ------------------------------------------------------------
+
+
+def test_vocab_growth_rederivation(spark, sf001_dir):
+    docs = pd.read_parquet(f"{sf001_dir}/documents.parquet").sort_values(
+        "doc_id"
+    )
+    first = {}
+    for r in docs.itertuples():
+        ws = r.text.strip().split()
+        for i in range(len(ws) - 2):
+            g = " ".join(ws[i : i + 3])
+            if g not in first:
+                first[g] = int(r.doc_id)
+    buckets = Counter(
+        (fid + 1).bit_length() - 1 for fid in first.values()
+    )
+    out = (
+        R.q_vocab_growth(spark, sf001_dir)
+        .toPandas()
+        .set_index("bucket")
+        .sort_index()
+    )
+    assert set(out.index) == set(buckets)
+    cum = 0
+    for k in sorted(buckets):
+        cum += buckets[k]
+        r = out.loc[k]
+        assert int(r["new_grams"]) == buckets[k]
+        assert int(r["cum_vocab"]) == cum
+        assert int(r["prefix_docs"]) == min(2 ** (k + 1) - 1, len(docs))
+    # non-vacuity: the curve has several steps and ends at the full vocab
+    assert len(out) >= 3
+    assert int(out["cum_vocab"].iloc[-1]) == len(first)
+
+
+# -- snapshot_diff -----------------------------------------------------------
+
+
+def test_snapshot_diff_rederivation(spark, sf001_dir):
+    docs = pd.read_parquet(f"{sf001_dir}/documents.parquet")
+    out = (
+        R.q_snapshot_diff(spark, sf001_dir)
+        .toPandas()
+        .set_index("doc_id")["change_type"]
+    )
+    expected = {}
+    for r in docs.itertuples():
+        d = int(r.doc_id)
+        in_old = d % 11 != 3
+        in_new = d % 13 != 7
+        if not in_old and not in_new:
+            continue
+        if not in_old:
+            expected[d] = "added"
+        elif not in_new:
+            expected[d] = "deleted"
+        elif d % 11 == 5 and r.text.upper() != r.text:
+            expected[d] = "modified"
+        else:
+            expected[d] = "unchanged"
+    assert dict(out) == expected
+    # non-vacuity: all four outcomes occur
+    assert set(expected.values()) == {
+        "added",
+        "deleted",
+        "modified",
+        "unchanged",
+    }
