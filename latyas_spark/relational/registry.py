@@ -9303,6 +9303,322 @@ FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
 """
 
 
+# -- skew profile (pre-join salting planner) --------------------------------
+
+_SKEW_TOPK = 20
+_SKEW_TARGET_ROWS = 1000  # post-salt rows per task the planner aims for
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter key diagnostic — the profile a pipeline runs on a
+    join/groupBy key BEFORE choosing a salting factor: top-K keys by
+    row count with their corpus share (ppm, integer) and the salt
+    factor ceil(cnt / target) that would level each hitter down to
+    ~target rows per task.  This is the measured input to the
+    mega-doc routing the flagship already does (extract.py's
+    broadcast-IN-list skew split).
+
+    100 TB shape: ONE map-side-combinable groupBy on the key (the
+    shuffle carries per-task partials, never rows), then rank on the
+    aggregated frame.  At 10^12 rows one would swap the exact count
+    for a count-min sketch to bound the aggregate; the exact form is
+    the oracle-checkable shape and the share/salt arithmetic is
+    identical.  All-integer output (share in ppm, not a float)."""
+    ev = _read(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _SKEW_TOPK)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "cnt",
+            "rank",
+            (F.col("cnt") * 1000000 / F.col("total"))
+            .cast("long")
+            .alias("share_ppm"),
+            F.ceil(F.col("cnt") / F.lit(_SKEW_TARGET_ROWS))
+            .cast("long")
+            .alias("salt_factor"),
+        )
+    )
+
+
+SKEW_PROFILE_SQL = f"""
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+), t AS (
+  SELECT COUNT(*) AS total FROM events
+), r AS (
+  SELECT user_id, cnt,
+    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rank
+  FROM c
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, cnt, rank,
+  CAST(cnt * 1000000 / total AS BIGINT) AS share_ppm,
+  CAST(ceil(cnt / {_SKEW_TARGET_ROWS}.0) AS BIGINT) AS salt_factor
+FROM r, t WHERE rank <= {_SKEW_TOPK}
+"""
+
+
+# -- z-order layout (multi-dim file clustering for scan pruning) ------------
+
+# Morton interleave of two 8-bit quantized dims; bucket = top 6 bits
+# (3 per dim), so every bucket covers a 32x32 cell region -> per-bucket
+# dimension spans are bounded by 31 (the locality invariant the test
+# pins).  Shared expression body, instantiated with each engine's
+# list-fold spelling.
+_ZORDER_BITS = 8
+_ZORDER_BUCKET_SHIFT = 10
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two quantized dimensions —
+    the data-layout primitive behind Iceberg/Delta `OPTIMIZE ZORDER`:
+    rows sorted by the interleaved-bit key land in files whose min/max
+    ranges are tight in BOTH dimensions, so a scan with a predicate on
+    either column prunes most files.  The query computes the 16-bit
+    Morton key for (l_partkey%256, l_suppkey%256) arithmetically (bit
+    extraction via div/mod — no engine-specific bit ops), groups rows
+    into 64 z-buckets (top-6-bit prefix), and reports per-bucket
+    occupancy plus the x/y spans, which the z-property bounds at 31.
+
+    100 TB shape: the key is a pure per-row projection (zero shuffle);
+    the report agg is map-side combinable over a 64-key space.  In
+    production the key feeds a writer's sortWithinPartitions — the
+    whole point is what it does to file min/max pruning downstream."""
+    li = _read(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_partkey") % 256).cast("long").alias("zx"),
+        (F.col("l_suppkey") % 256).cast("long").alias("zy"),
+    )
+    morton = (
+        "aggregate(transform(sequence(0, {b}), i ->"
+        " ((zx div shiftleft(cast(1 as bigint), i)) % 2)"
+        "   * shiftleft(cast(1 as bigint), 2 * i)"
+        " + ((zy div shiftleft(cast(1 as bigint), i)) % 2)"
+        "   * shiftleft(cast(1 as bigint), 2 * i + 1)),"
+        " cast(0 as bigint), (a, x) -> a + x)"
+    ).format(b=_ZORDER_BITS - 1)
+    return (
+        d.withColumn("morton", F.expr(morton))
+        .withColumn(
+            "z_bucket",
+            F.expr(f"morton div shiftleft(cast(1 as bigint), {_ZORDER_BUCKET_SHIFT})"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.max("zx") - F.min("zx")).alias("x_span"),
+            (F.max("zy") - F.min("zy")).alias("y_span"),
+            F.min("morton").alias("z_min"),
+            F.max("morton").alias("z_max"),
+        )
+    )
+
+
+ZORDER_LAYOUT_SQL = f"""
+WITH d AS (
+  SELECT CAST(l_partkey % 256 AS BIGINT) AS zx,
+         CAST(l_suppkey % 256 AS BIGINT) AS zy
+  FROM lineitem
+), m AS (
+  SELECT zx, zy,
+    CAST(list_sum(list_transform(range({_ZORDER_BITS}), i ->
+      ((zx // (CAST(1 AS BIGINT) << i)) % 2) * (CAST(1 AS BIGINT) << (2 * i))
+      + ((zy // (CAST(1 AS BIGINT) << i)) % 2) * (CAST(1 AS BIGINT) << (2 * i + 1))
+    )) AS BIGINT) AS morton
+  FROM d
+)
+SELECT morton // (CAST(1 AS BIGINT) << {_ZORDER_BUCKET_SHIFT}) AS z_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MAX(zx) - MIN(zx) AS x_span,
+  MAX(zy) - MIN(zy) AS y_span,
+  MIN(morton) AS z_min,
+  MAX(morton) AS z_max
+FROM m GROUP BY 1
+"""
+
+
+# -- BPE encode (apply a learned merge distributed) -------------------------
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the TOP-1 learned BPE merge to the whole corpus — the
+    encode half of the tokenizer loop whose count half is
+    ``bpe_pair_counts`` and whose greedy schedule is ``bpe_merges``.
+    Each word is rendered in spaced-symbol form ("the" -> "t h e") and
+    the winning pair is merged with ONE literal left-to-right
+    non-overlapping string replace ("t h e" -> "th e") — exactly the
+    greedy single-pass semantics of Sennrich et al.'s merge step, and
+    identical between engines because both ``replace`` builtins scan
+    leftmost-non-overlapping.  Per doc: symbol counts before/after,
+    merges applied, and an md5 fingerprint of the encoded stream.
+
+    100 TB shape: the learned merge is a broadcast single-row frame
+    (in production: the full merge table, still broadcast-sized); the
+    encode itself is a pure per-row projection — zero shuffle, the
+    corpus is touched once.  This is why distributed BPE encodes at
+    scan speed: all mutable state lives in the tiny merge table."""
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    words = docs.select(F.explode(F.split(F.trim("text"), " +")).alias("w"))
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) < 2 THEN cast(array() as array<string>) "
+                "ELSE transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2)) END"
+            )
+        ).alias("pair")
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("pair"))),
+        )
+        .filter(F.col("rank") == 1)
+        .select(F.col("pair").alias("mp"))
+    )
+    d = docs.select(
+        "doc_id", F.split(F.trim("text"), " +").alias("wd")
+    ).crossJoin(F.broadcast(top))
+    enc = (
+        "transform(wd, w -> replace(trim(regexp_replace(w, '(.)', '$1 ')),"
+        " concat(substring(mp, 1, 1), ' ', substring(mp, 2, 1)), mp))"
+    )
+    return (
+        d.withColumn("ew", F.expr(enc))
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(wd, cast(0 as bigint), (a, w) -> a + length(w))"
+            ).alias("n_sym_before"),
+            F.expr(
+                "aggregate(ew, cast(0 as bigint),"
+                " (a, w) -> a + size(split(w, ' ')))"
+            ).alias("n_sym_after"),
+            F.md5(F.concat_ws(" | ", "ew")).alias("enc_fp"),
+        )
+        .withColumn("n_merged", F.col("n_sym_before") - F.col("n_sym_after"))
+    )
+
+
+BPE_ENCODE_SQL = r"""
+WITH wrd AS (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), p AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+    i -> substring(w, i, 2))) AS pair
+  FROM wrd
+), top AS (
+  SELECT pair AS mp FROM (
+    SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
+  ) ORDER BY cnt DESC, pair ASC LIMIT 1
+), d AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS wd
+  FROM documents WHERE length(trim(text)) > 0
+), e AS (
+  SELECT doc_id, wd,
+    list_transform(wd, w -> replace(trim(regexp_replace(w, '(.)', '\1 ', 'g')),
+      substring(mp, 1, 1) || ' ' || substring(mp, 2, 1), mp)) AS ew
+  FROM d, top
+)
+SELECT doc_id,
+  CAST(list_sum(list_transform(wd, w -> length(w))) AS BIGINT) AS n_sym_before,
+  CAST(list_sum(list_transform(ew, w -> len(string_split(w, ' ')))) AS BIGINT)
+    AS n_sym_after,
+  md5(array_to_string(ew, ' | ')) AS enc_fp,
+  CAST(list_sum(list_transform(wd, w -> length(w)))
+    - list_sum(list_transform(ew, w -> len(string_split(w, ' ')))) AS BIGINT)
+    AS n_merged
+FROM e
+"""
+
+
+# -- media dedup (content-addressed multimodal store) -----------------------
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup over the media sidecar — the
+    content-addressed-store primitive of a multimodal lake: the same
+    logo/icon/chart payload referenced by thousands of documents is
+    stored once and every duplicate reference is rewritten to the
+    canonical object.  Payload identity is a deterministic md5 of the
+    payload id (synth media reuses payloads with id % 97 — the web's
+    repeated-asset shape); per shared payload the report carries copy
+    count, distinct referencing docs, the canonical ref (lexicographic
+    min — stable cross-engine), and bytes reclaimed.
+
+    100 TB shape: ONE groupBy on the content hash (map-side combined
+    — the payload bytes never shuffle, only their digests), output
+    sized by the distinct-payload space.  The doc->canonical rewrite
+    this feeds is a broadcast join when the dup table is small or a
+    bucketed equi-join against the media store otherwise."""
+    b = synth_blocks(spark, sf_dir)
+    m = b.filter(F.col("media_ref").isNotNull()).select(
+        "doc_id",
+        "media_ref",
+        F.md5(
+            (F.expr("cast(substring(media_ref, 9) as bigint)") % 97).cast(
+                "string"
+            )
+        ).alias("payload_fp"),
+        F.length("media_ref").cast("long").alias("n_bytes"),
+    )
+    return (
+        m.groupBy("payload_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("media_ref").alias("canonical_ref"),
+            F.sum("n_bytes").cast("long").alias("bytes_total"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .select(
+            "payload_fp",
+            "n_copies",
+            "n_docs",
+            "canonical_ref",
+            (F.col("bytes_total") - F.length("canonical_ref")).alias(
+                "bytes_saved"
+            ),
+        )
+    )
+
+
+MEDIA_DEDUP_SQL = (
+    _blocks_cte()
+    + """
+, m AS (
+  SELECT doc_id, media_ref,
+    md5(CAST(CAST(substring(media_ref, 9) AS BIGINT) % 97 AS VARCHAR))
+      AS payload_fp,
+    CAST(length(media_ref) AS BIGINT) AS n_bytes
+  FROM blocks WHERE media_ref IS NOT NULL
+), g AS (
+  SELECT payload_fp,
+    CAST(COUNT(*) AS BIGINT) AS n_copies,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    MIN(media_ref) AS canonical_ref,
+    CAST(SUM(n_bytes) AS BIGINT) AS bytes_total
+  FROM m GROUP BY payload_fp
+)
+SELECT payload_fp, n_copies, n_docs, canonical_ref,
+  bytes_total - length(canonical_ref) AS bytes_saved
+FROM g WHERE n_copies >= 2
+"""
+)
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -9422,6 +9738,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ngram_coverage": (q_ngram_coverage, NGRAM_COVERAGE_SQL),
     "vocab_growth": (q_vocab_growth, VOCAB_GROWTH_SQL),
     "snapshot_diff": (q_snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "skew_profile": (q_skew_profile, SKEW_PROFILE_SQL),
+    "zorder_layout": (q_zorder_layout, ZORDER_LAYOUT_SQL),
+    "bpe_encode": (q_bpe_encode, BPE_ENCODE_SQL),
+    "media_dedup": (q_media_dedup, MEDIA_DEDUP_SQL),
 }
 
 

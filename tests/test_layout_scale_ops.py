@@ -1,0 +1,161 @@
+"""Independent rederivations for the layout/scale-planning operators:
+skew_profile (salting planner), zorder_layout (Morton clustering),
+bpe_encode (distributed merge application), media_dedup (CAS dedup).
+
+Each test recomputes the expected output in plain pandas/python from
+the raw parquet (never via the query's own SQL), so the Spark plan and
+the DuckDB oracle are BOTH checked against a third derivation.
+"""
+
+import hashlib
+import math
+from collections import Counter
+
+import pandas as pd
+
+from latyas_spark.relational import registry as R
+
+
+# -- skew_profile ------------------------------------------------------------
+
+
+def test_skew_profile_rederivation(spark, sf001_dir):
+    ev = pd.read_parquet(f"{sf001_dir}/events.parquet")
+    counts = ev.groupby("user_id").size().reset_index(name="cnt")
+    counts = counts.sort_values(
+        ["cnt", "user_id"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)
+    total = len(ev)
+    out = (
+        R.q_skew_profile(spark, sf001_dir)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert len(out) == min(R._SKEW_TOPK, len(counts))
+    for i, r in out.iterrows():
+        exp = counts.iloc[i]
+        assert int(r["user_id"]) == int(exp["user_id"])
+        assert int(r["cnt"]) == int(exp["cnt"])
+        assert int(r["rank"]) == i + 1
+        assert int(r["share_ppm"]) == int(exp["cnt"] * 1000000 / total)
+        assert int(r["salt_factor"]) == math.ceil(
+            exp["cnt"] / R._SKEW_TARGET_ROWS
+        )
+    # non-vacuity: the profile is ordered and the head is a real hitter
+    assert out["cnt"].is_monotonic_decreasing
+    assert int(out["cnt"].iloc[0]) > int(out["cnt"].iloc[-1])
+
+
+# -- zorder_layout -----------------------------------------------------------
+
+
+def _morton(zx: int, zy: int, bits: int) -> int:
+    m = 0
+    for i in range(bits):
+        m += ((zx >> i) & 1) << (2 * i)
+        m += ((zy >> i) & 1) << (2 * i + 1)
+    return m
+
+
+def test_zorder_layout_rederivation_and_locality(spark, sf001_dir):
+    li = pd.read_parquet(f"{sf001_dir}/lineitem.parquet")
+    zx = (li["l_partkey"] % 256).astype(int)
+    zy = (li["l_suppkey"] % 256).astype(int)
+    morton = [_morton(a, b, R._ZORDER_BITS) for a, b in zip(zx, zy)]
+    exp = pd.DataFrame({"zx": zx, "zy": zy, "morton": morton})
+    exp["z_bucket"] = exp["morton"] // (1 << R._ZORDER_BUCKET_SHIFT)
+    g = exp.groupby("z_bucket")
+    out = (
+        R.q_zorder_layout(spark, sf001_dir)
+        .toPandas()
+        .set_index("z_bucket")
+        .sort_index()
+    )
+    assert set(out.index) == set(g.groups)
+    assert int(out["n_rows"].sum()) == len(li)
+    for b, grp in g:
+        r = out.loc[b]
+        assert int(r["n_rows"]) == len(grp)
+        assert int(r["x_span"]) == int(grp["zx"].max() - grp["zx"].min())
+        assert int(r["y_span"]) == int(grp["zy"].max() - grp["zy"].min())
+        assert int(r["z_min"]) == int(grp["morton"].min())
+        assert int(r["z_max"]) == int(grp["morton"].max())
+    # the z-order locality invariant: a top-6-bit bucket fixes the top
+    # 3 bits of each dim, so per-bucket spans are bounded by 31 and the
+    # morton range stays inside the bucket's 1024-key window
+    assert (out["x_span"] <= 31).all()
+    assert (out["y_span"] <= 31).all()
+    shift = 1 << R._ZORDER_BUCKET_SHIFT
+    for b, r in out.iterrows():
+        assert b * shift <= int(r["z_min"]) <= int(r["z_max"]) < (b + 1) * shift
+
+
+# -- bpe_encode --------------------------------------------------------------
+
+
+def test_bpe_encode_rederivation(spark, sf001_dir):
+    docs = pd.read_parquet(f"{sf001_dir}/documents.parquet")
+    docs = docs[docs["text"].str.strip().str.len() > 0]
+    pair_counts = Counter()
+    for t in docs["text"]:
+        for w in t.strip().split():
+            for i in range(len(w) - 1):
+                pair_counts[w[i : i + 2]] += 1
+    top = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    pat = top[0] + " " + top[1]
+    out = (
+        R.q_bpe_encode(spark, sf001_dir).toPandas().set_index("doc_id")
+    )
+    assert len(out) == len(docs)
+    n_checked_merges = 0
+    for r in docs.itertuples():
+        words = r.text.strip().split()
+        # python str.replace is leftmost-non-overlapping: the exact
+        # greedy single-pass semantics the query's replace() relies on
+        enc = [" ".join(w).replace(pat, top) for w in words]
+        before = sum(len(w) for w in words)
+        after = sum(len(e.split(" ")) for e in enc)
+        row = out.loc[int(r.doc_id)]
+        assert int(row["n_sym_before"]) == before
+        assert int(row["n_sym_after"]) == after
+        assert int(row["n_merged"]) == before - after
+        fp = hashlib.md5(" | ".join(enc).encode()).hexdigest()
+        assert row["enc_fp"] == fp
+        n_checked_merges += before - after
+    # non-vacuity: the corpus-wide winning pair actually merges things
+    assert n_checked_merges > 0
+
+
+# -- media_dedup -------------------------------------------------------------
+
+
+def test_media_dedup_rederivation(spark, sf001_dir):
+    from latyas_spark.pipeline.adapter import synth_blocks
+
+    b = synth_blocks(spark, sf001_dir).toPandas()
+    m = b[b["media_ref"].notna()].copy()
+    m["payload_fp"] = [
+        hashlib.md5(str(int(ref[8:]) % 97).encode()).hexdigest()
+        for ref in m["media_ref"]
+    ]
+    out = (
+        R.q_media_dedup(spark, sf001_dir).toPandas().set_index("payload_fp")
+    )
+    g = m.groupby("payload_fp")
+    expected = {fp for fp, grp in g if len(grp) >= 2}
+    assert set(out.index) == expected
+    for fp, grp in g:
+        if len(grp) < 2:
+            continue
+        r = out.loc[fp]
+        canonical = grp["media_ref"].min()
+        assert int(r["n_copies"]) == len(grp)
+        assert int(r["n_docs"]) == grp["doc_id"].nunique()
+        assert r["canonical_ref"] == canonical
+        assert int(r["bytes_saved"]) == int(
+            grp["media_ref"].str.len().sum() - len(canonical)
+        )
+    # non-vacuity: shared payloads exist and some span multiple docs
+    assert len(out) > 0
+    assert (out["n_docs"] >= 2).any()

@@ -94,6 +94,10 @@ SUBSET = [
     "quality_deciles",
     "stitch_fragments",
     "audio_windows",
+    "skew_profile",
+    "zorder_layout",
+    "bpe_encode",
+    "media_dedup",
 ]
 
 
