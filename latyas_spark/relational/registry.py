@@ -9338,7 +9338,7 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("long").alias("user_id"),
             "cnt",
             "rank",
-            (F.col("cnt") * 1000000 / F.col("total"))
+            F.floor(F.col("cnt") * 1000000 / F.col("total"))
             .cast("long")
             .alias("share_ppm"),
             F.ceil(F.col("cnt") / F.lit(_SKEW_TARGET_ROWS))
@@ -9359,7 +9359,7 @@ WITH c AS (
   FROM c
 )
 SELECT CAST(user_id AS BIGINT) AS user_id, cnt, rank,
-  CAST(cnt * 1000000 / total AS BIGINT) AS share_ppm,
+  CAST(floor(cnt * 1000000 / total) AS BIGINT) AS share_ppm,
   CAST(ceil(cnt / {_SKEW_TARGET_ROWS}.0) AS BIGINT) AS salt_factor
 FROM r, t WHERE rank <= {_SKEW_TOPK}
 """
@@ -9619,6 +9619,115 @@ FROM g WHERE n_copies >= 2
 )
 
 
+# -- event transition matrix (Markov chain over per-user streams) ----------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every (event_type -> next_type) edge, the corpus-wide
+    count and the row-normalized probability (ppm, integer — floats
+    never cross the hash gate).  The behavioral-analytics complement
+    to ``bigram_lm_score`` (which runs the same estimator over word
+    streams): funnels, anomaly scoring, and synthetic-session
+    generators all start from this table.
+
+    100 TB shape: one shuffle partitions events by user (the SAME
+    partitioning sessionize/funnel_steps reuse), ``lead`` runs inside
+    each user's sorted run, and the pair aggregate collapses map-side
+    to the |types|^2 key space; row normalization is a window over the
+    already-aggregated tiny frame.  Ties in the per-user order are
+    broken by event_id so the sequence is total and cross-engine
+    deterministic."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "next_type", F.lead("event_type").over(w)
+    )
+    pairs = (
+        t.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    row = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "cnt",
+        F.floor(F.col("cnt") * 1000000 / F.sum("cnt").over(row))
+        .cast("long")
+        .alias("p_ppm"),
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH t AS (
+  SELECT event_type,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+), p AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM t WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, cnt,
+  CAST(floor(cnt * 1000000 / SUM(cnt) OVER (PARTITION BY event_type))
+    AS BIGINT) AS p_ppm
+FROM p
+"""
+
+
+# -- join cardinality estimate (planner input, no join executed) ------------
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT join output cardinality computed WITHOUT executing the
+    join: aggregate each side to per-key counts, join the two
+    KEY-SPACE-sized count tables, and sum cntA*cntB — the arithmetic a
+    cost-based planner runs (over histograms) before picking a join
+    strategy, and the cheap pre-flight a pipeline runs before an
+    expensive join to detect blow-ups.  Reported per o_orderstatus so
+    the output shows WHERE the mass concentrates.
+
+    100 TB shape: the two groupBys are map-side combinable and the
+    count-table join shuffles only |keys| rows (never lineitem rows) —
+    the whole estimate costs two scans + one key-space join, versus
+    the full join's row-space shuffle.  The companion to
+    ``skew_profile``: that query finds the hitters, this one prices
+    the join they would blow up."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    ca = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_a")
+    )
+    cb = orders.groupBy("o_orderkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_b")
+    )
+    j = ca.join(cb, ca.l_orderkey == cb.o_orderkey)
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("cnt_a") * F.col("cnt_b")).cast("long").alias("est_rows"),
+        F.max(F.col("cnt_a") * F.col("cnt_b")).cast("long").alias("max_key_rows"),
+    )
+
+
+JOIN_SIZE_ESTIMATE_SQL = """
+WITH ca AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt_a
+  FROM lineitem GROUP BY l_orderkey
+), cb AS (
+  SELECT o_orderkey, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt_b
+  FROM orders GROUP BY o_orderkey, o_orderstatus
+)
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(cnt_a * cnt_b) AS BIGINT) AS est_rows,
+  CAST(MAX(cnt_a * cnt_b) AS BIGINT) AS max_key_rows
+FROM ca JOIN cb ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -9742,6 +9851,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "zorder_layout": (q_zorder_layout, ZORDER_LAYOUT_SQL),
     "bpe_encode": (q_bpe_encode, BPE_ENCODE_SQL),
     "media_dedup": (q_media_dedup, MEDIA_DEDUP_SQL),
+    "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
+    "join_size_estimate": (q_join_size_estimate, JOIN_SIZE_ESTIMATE_SQL),
 }
 
 

@@ -159,3 +159,61 @@ def test_media_dedup_rederivation(spark, sf001_dir):
     # non-vacuity: shared payloads exist and some span multiple docs
     assert len(out) > 0
     assert (out["n_docs"] >= 2).any()
+
+
+# -- event_transitions ---------------------------------------------------------
+
+
+def test_event_transitions_rederivation(spark, sf001_dir):
+    ev = pd.read_parquet(f"{sf001_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    pairs = Counter()
+    for _, grp in ev.groupby("user_id", sort=False):
+        types = list(grp["event_type"])
+        for a, b in zip(types, types[1:]):
+            pairs[(a, b)] += 1
+    row_tot = Counter()
+    for (a, _), c in pairs.items():
+        row_tot[a] += c
+    out = (
+        R.q_event_transitions(spark, sf001_dir)
+        .toPandas()
+        .set_index(["event_type", "next_type"])
+    )
+    assert set(out.index) == set(pairs)
+    for (a, b), c in pairs.items():
+        r = out.loc[(a, b)]
+        assert int(r["cnt"]) == c
+        assert int(r["p_ppm"]) == math.floor(c * 1000000 / row_tot[a])
+    # rows of the matrix sum to ~1 (ppm floor loses < n_cols per row)
+    sums = out.groupby(level=0)["p_ppm"].sum()
+    assert ((sums > 999900) & (sums <= 1000000)).all()
+
+
+# -- join_size_estimate --------------------------------------------------------
+
+
+def test_join_size_estimate_matches_executed_join(spark, sf001_dir):
+    """The estimate must EQUAL the real join's size — computed here by
+    actually executing the join in pandas (the thing the query avoids
+    doing at scale)."""
+    li = pd.read_parquet(f"{sf001_dir}/lineitem.parquet")
+    orders = pd.read_parquet(f"{sf001_dir}/orders.parquet")
+    joined = li.merge(
+        orders[["o_orderkey", "o_orderstatus"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    actual = joined.groupby("o_orderstatus").size()
+    out = (
+        R.q_join_size_estimate(spark, sf001_dir)
+        .toPandas()
+        .set_index("o_orderstatus")
+    )
+    assert set(out.index) == set(actual.index)
+    for status, n in actual.items():
+        assert int(out.loc[status, "est_rows"]) == int(n)
+    # n_keys counts matched orderkeys, bounded by the orders side
+    assert int(out["n_keys"].sum()) <= orders["o_orderkey"].nunique()
+    assert (out["max_key_rows"] >= 1).all()

@@ -98,6 +98,8 @@ SUBSET = [
     "zorder_layout",
     "bpe_encode",
     "media_dedup",
+    "event_transitions",
+    "join_size_estimate",
 ]
 
 
