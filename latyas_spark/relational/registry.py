@@ -9728,6 +9728,193 @@ GROUP BY o_orderstatus
 """
 
 
+# -- triangle count / clustering coefficient over the kNN graph -------------
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over
+    the symmetrized kNN graph — the third classic graph kernel next to
+    connected components (dedup_clusters) and PageRank: high-triangle
+    nodes sit inside tight near-duplicate communities (curation keeps
+    one exemplar), zero-triangle nodes are chain/bridge artifacts of
+    the LSH candidate generation.
+
+    Plan: symmetrize the directed kNN edges to a canonical a<b edge
+    set, enumerate wedges by one self-join on the middle node with the
+    a<b<c ordering constraint (each triangle counted exactly once),
+    close them with one more join on (a, c), then explode each
+    triangle to its three corners for the per-node count.
+
+    100 TB shape: the ordering constraint is the classic wedge-bound
+    trick, and the kNN top-{K} cap bounds every node's degree, so the
+    wedge join fans out at most deg^2 <= {K2}x per node (LSH bucket
+    caps already bounded the candidate step upstream) — no power-law
+    hub can go quadratic.  Three bounded shuffles total; coefficient
+    arithmetic is integer ppm (floor on both engines)."""
+    knn = q_knn_graph(spark, sf_dir)
+    und = (
+        knn.select("vec_id", "nbr_id")
+        .unionByName(
+            knn.select(
+                F.col("nbr_id").alias("vec_id"),
+                F.col("vec_id").alias("nbr_id"),
+            )
+        )
+        .filter(F.col("vec_id") < F.col("nbr_id"))
+        .distinct()
+        .select(F.col("vec_id").alias("a"), F.col("nbr_id").alias("b"))
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    wedges = und.join(e2, und.b == e2.b2).select("a", "b", "c")
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = wedges.join(
+        e3, (wedges.a == e3.a3) & (wedges.c == e3.c3)
+    ).select("a", "b", "c")
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    return deg.join(per_node, "v", "left").select(
+        F.col("v").alias("vec_id"),
+        "deg",
+        F.coalesce("tri", F.lit(0)).cast("long").alias("tri"),
+        F.when(
+            F.col("deg") >= 2,
+            F.floor(
+                F.coalesce("tri", F.lit(0))
+                * 2000000
+                / (F.col("deg") * (F.col("deg") - 1))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cc_ppm"),
+    )
+
+
+q_triangle_count.__doc__ = q_triangle_count.__doc__.format(
+    K=KNN_K, K2=KNN_K * KNN_K
+)
+
+TRIANGLE_COUNT_SQL = f"""
+WITH und AS (
+  SELECT DISTINCT least(vec_id, nbr_id) AS a, greatest(vec_id, nbr_id) AS b
+  FROM ({KNN_GRAPH_SQL}) knn
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), per_node AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+    SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+    UNION ALL SELECT c AS v FROM tri
+  ) GROUP BY v
+)
+SELECT deg.v AS vec_id, deg.deg,
+  CAST(COALESCE(per_node.tri, 0) AS BIGINT) AS tri,
+  CAST(CASE WHEN deg.deg >= 2 THEN
+    floor(COALESCE(per_node.tri, 0) * 2000000 / (deg.deg * (deg.deg - 1)))
+    ELSE 0 END AS BIGINT) AS cc_ppm
+FROM deg LEFT JOIN per_node ON deg.v = per_node.v
+"""
+
+
+# -- watermark lag stats (out-of-orderness histogram for streaming) ---------
+
+
+def q_watermark_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time out-of-orderness histogram — the measurement that
+    sizes a Structured Streaming ``withWatermark`` delay: per ingest
+    shard, replay events in ARRIVAL order and measure each event's
+    lag behind the running event-time high-water mark; report the lag
+    distribution in power-of-two-second buckets.  A watermark of
+    2^(p99-bucket+1) seconds then provably admits ~99% of late data,
+    and streaming/ingest.py's watermarked aggregations consume
+    exactly this number.
+
+    The driver's synthetic events arrive exactly in event-time order
+    (event_id order == ts order — every lag would be 0), so arrival
+    order carries a deterministic jitter permutation
+    ``arrival_seq = event_id + (event_id * 37) % 11`` (the same
+    fixture-salt device as pii_scrub/substring_dedup): events arrive
+    up to 10 slots late, producing a real lag histogram (buckets 0-14
+    at sf0.001) while staying bit-identical cross-engine.
+
+    100 TB shape: the running max is a per-shard window in arrival
+    order — shards are independent (Kafka-partition analog, user_id
+    hash here), so no global sort exists; the histogram agg collapses
+    map-side to <= ~40 buckets.  Integer throughout: epoch seconds
+    (any engine-TZ offset cancels in the max-minus-current
+    difference), bit-length bucketing (length(bin(x)) — the
+    vocab_growth device)."""
+    ev = _read(spark, sf_dir, "events")
+    d = ev.select(
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("shard"),
+        "event_id",
+        (F.col("event_id") + (F.col("event_id") * 37) % 11).alias(
+            "arrival_seq"
+        ),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("arrival_seq", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lag = d.select(
+        "shard",
+        (F.max("sec").over(w) - F.col("sec")).alias("lag_sec"),
+    )
+    return (
+        lag.select(
+            "shard",
+            (F.length(F.bin(F.col("lag_sec") + 1)) - 1)
+            .cast("int")
+            .alias("lag_bucket"),
+            "lag_sec",
+        )
+        .groupBy("shard", "lag_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("lag_sec").cast("long").alias("max_lag_sec"),
+        )
+    )
+
+
+WATERMARK_LAG_SQL = """
+WITH d AS (
+  SELECT CAST(user_id % 8 AS INT) AS shard, event_id,
+    event_id + (event_id * 37) % 11 AS arrival_seq,
+    -- floor, not cast: ts has subsecond precision and DuckDB's
+    -- double->int cast rounds where Spark's unix_timestamp truncates
+    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), lag AS (
+  SELECT shard,
+    MAX(sec) OVER (PARTITION BY shard ORDER BY arrival_seq, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sec AS lag_sec
+  FROM d
+)
+SELECT shard,
+  CAST(length(bin(lag_sec + 1)) - 1 AS INT) AS lag_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(MAX(lag_sec) AS BIGINT) AS max_lag_sec
+FROM lag GROUP BY shard, lag_bucket
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -9853,6 +10040,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "media_dedup": (q_media_dedup, MEDIA_DEDUP_SQL),
     "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
     "join_size_estimate": (q_join_size_estimate, JOIN_SIZE_ESTIMATE_SQL),
+    "triangle_count": (q_triangle_count, TRIANGLE_COUNT_SQL),
+    "watermark_lag_stats": (q_watermark_lag_stats, WATERMARK_LAG_SQL),
 }
 
 

@@ -217,3 +217,84 @@ def test_join_size_estimate_matches_executed_join(spark, sf001_dir):
     # n_keys counts matched orderkeys, bounded by the orders side
     assert int(out["n_keys"].sum()) <= orders["o_orderkey"].nunique()
     assert (out["max_key_rows"] >= 1).all()
+
+
+# -- triangle_count ------------------------------------------------------------
+
+
+def test_triangle_count_rederivation(spark, sf001_dir):
+    """Rederive per-node triangle counts in python sets from the SAME
+    kNN edge list the query consumes (the graph construction itself is
+    oracle-checked as knn_graph)."""
+    knn = R.q_knn_graph(spark, sf001_dir).toPandas()
+    edges = set()
+    for r in knn.itertuples():
+        a, b = sorted((int(r.vec_id), int(r.nbr_id)))
+        edges.add((a, b))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = Counter()
+    for a, b in edges:
+        common = adj[a] & adj[b]
+        for c in common:
+            x, y, z = sorted((a, b, c))
+            tri[(x, y, z)] += 1
+    per_node = Counter()
+    for (x, y, z), c in tri.items():
+        assert c == 3  # each triangle discovered via each of its edges
+        for v in (x, y, z):
+            per_node[v] += 1
+    out = (
+        R.q_triangle_count(spark, sf001_dir).toPandas().set_index("vec_id")
+    )
+    assert set(out.index) == set(adj)
+    for v, nbrs in adj.items():
+        r = out.loc[v]
+        assert int(r["deg"]) == len(nbrs)
+        assert int(r["tri"]) == per_node.get(v, 0)
+        d = len(nbrs)
+        exp_cc = (
+            math.floor(per_node.get(v, 0) * 2000000 / (d * (d - 1)))
+            if d >= 2
+            else 0
+        )
+        assert int(r["cc_ppm"]) == exp_cc
+    # non-vacuity: the LSH-candidate kNN graph really contains triangles
+    assert len(tri) > 0
+    assert (out["cc_ppm"] > 0).any()
+
+
+# -- watermark_lag_stats -------------------------------------------------------
+
+
+def test_watermark_lag_stats_rederivation(spark, sf001_dir):
+    ev = pd.read_parquet(f"{sf001_dir}/events.parquet")
+    ev = ev.assign(
+        shard=(ev["user_id"] % 8).astype(int),
+        arrival_seq=ev["event_id"] + (ev["event_id"] * 37) % 11,
+        sec=ev["ts"].values.astype("datetime64[s]").astype("int64"),
+    ).sort_values(["shard", "arrival_seq", "event_id"])
+    hist = Counter()
+    max_lag = Counter()
+    for shard, grp in ev.groupby("shard"):
+        hwm = -(10**18)
+        for s in grp["sec"]:
+            hwm = max(hwm, s)
+            lag = int(hwm - s)
+            b = (lag + 1).bit_length() - 1
+            hist[(shard, b)] += 1
+            max_lag[(shard, b)] = max(max_lag[(shard, b)], lag)
+    out = (
+        R.q_watermark_lag_stats(spark, sf001_dir)
+        .toPandas()
+        .set_index(["shard", "lag_bucket"])
+    )
+    assert set(out.index) == set(hist)
+    for k, n in hist.items():
+        assert int(out.loc[k, "n_events"]) == n
+        assert int(out.loc[k, "max_lag_sec"]) == max_lag[k]
+    # non-vacuity: the jittered arrival order produces real lateness,
+    # enough to size a watermark from (several nonzero buckets)
+    assert len({b for (_, b) in hist if b > 0}) >= 3

@@ -100,6 +100,8 @@ SUBSET = [
     "media_dedup",
     "event_transitions",
     "join_size_estimate",
+    "triangle_count",
+    "watermark_lag_stats",
 ]
 
 
