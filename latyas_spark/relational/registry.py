@@ -9915,6 +9915,149 @@ FROM lag GROUP BY shard, lag_bucket
 """
 
 
+# -- cluster purity (unsupervised clusters vs ground-truth labels) ----------
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality report: the learned k-means clusters (the
+    SAME 2-round exact-int Lloyd chain ann_kmeans/semdedup run) scored
+    against the embeddings table's ground-truth ``label`` — per
+    cluster, its size, majority label, and purity (majority share,
+    integer ppm).  This is the eval loop of embedding-space curation:
+    low-purity clusters mean the embedding (or K) is wrong and every
+    downstream semdedup/topic-balance decision inherits the error.
+
+    100 TB shape: the cluster assignment is the materialized frame the
+    other k-means consumers reuse (corpus never shuffles to train —
+    see _km_final_assign); the purity report is a (cluster x label)
+    key-space aggregate (map-side combined), then an argmax per
+    cluster via min(struct(-cnt, label)) — tiny frames end to end.
+    Ties break label-ASC, deterministic cross-engine."""
+    e = _km_vectors(spark, sf_dir)
+    final = _km_final_assign(e)
+    labels = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+    cl = (
+        final.select("vec_id", "cid")
+        .join(labels, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    per = cl.groupBy("cid").agg(
+        F.sum("cnt").cast("long").alias("n_vecs"),
+        F.min(F.struct((-F.col("cnt")).alias("neg"), "label"))
+        .getField("label")
+        .alias("majority_label"),
+        F.max("cnt").cast("long").alias("majority_cnt"),
+    )
+    return per.select(
+        F.col("cid").cast("long").alias("cid"),
+        "n_vecs",
+        "majority_label",
+        F.floor(F.col("majority_cnt") * 1000000 / F.col("n_vecs"))
+        .cast("long")
+        .alias("purity_ppm"),
+    )
+
+
+CLUSTER_PURITY_SQL = (
+    _KM_CTE
+    + """,
+lab AS (
+  SELECT vec_id, CAST(label AS INT) AS label FROM embeddings
+), cl AS (
+  SELECT a3.cid, lab.label, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM a3 JOIN lab ON a3.vec_id = lab.vec_id
+  GROUP BY a3.cid, lab.label
+), per AS (
+  SELECT cid, n_vecs, label AS majority_label, cnt AS majority_cnt FROM (
+    SELECT cid, label, cnt,
+      CAST(SUM(cnt) OVER (PARTITION BY cid) AS BIGINT) AS n_vecs,
+      row_number() OVER (PARTITION BY cid
+        ORDER BY cnt DESC, label ASC) AS rn
+    FROM cl
+  ) WHERE rn = 1
+)
+SELECT CAST(cid AS BIGINT) AS cid, n_vecs, majority_label,
+  CAST(floor(majority_cnt * 1000000 / n_vecs) AS BIGINT) AS purity_ppm
+FROM per
+"""
+)
+
+
+# -- scan prune stats (partition/file skipping planner report) --------------
+
+_PRUNE_LO = "1997-01-01"
+_PRUNE_HI = "1997-06-30"
+
+
+def q_scan_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruning planner report — what an Iceberg manifest (or
+    a parquet footer min/max) decides before any data is read: group
+    lineitem into month partitions of l_shipdate, compute each
+    partition's row count and min/max stats, and mark which partitions
+    a ``BETWEEN {lo} AND {hi}`` predicate would SKIP (stat range
+    disjoint from the predicate range).  The sum of pruned n_rows over
+    total is the fraction of the corpus the scan never touches — the
+    single biggest lever at 100 TB, and the metric that justifies the
+    warehouse layout (warehouse.py) and the z-order key
+    (zorder_layout, the multi-dim generalization).
+
+    100 TB shape: the stats table IS the small frame (one row per
+    partition), built by one map-side-combinable aggregate; in
+    production it is free — Iceberg manifests / parquet footers
+    already store it, and this query is the planner arithmetic over
+    those stats.  Dates are compared as 'yyyy-MM-dd' strings (exact,
+    no TZ arithmetic cross-engine)."""
+    li = _read(spark, sf_dir, "lineitem")
+    parts = (
+        li.select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("part_month"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("d"),
+        )
+        .groupBy("part_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("d").alias("min_ship"),
+            F.max("d").alias("max_ship"),
+        )
+    )
+    return parts.select(
+        "part_month",
+        "n_rows",
+        "min_ship",
+        "max_ship",
+        F.when(
+            (F.col("max_ship") < F.lit(_PRUNE_LO))
+            | (F.col("min_ship") > F.lit(_PRUNE_HI)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("pruned"),
+    )
+
+
+q_scan_prune_stats.__doc__ = q_scan_prune_stats.__doc__.format(
+    lo=_PRUNE_LO, hi=_PRUNE_HI
+)
+
+SCAN_PRUNE_SQL = f"""
+WITH p AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    MIN(strftime(l_shipdate, '%Y-%m-%d')) AS min_ship,
+    MAX(strftime(l_shipdate, '%Y-%m-%d')) AS max_ship
+  FROM lineitem GROUP BY 1
+)
+SELECT part_month, n_rows, min_ship, max_ship,
+  CAST(CASE WHEN max_ship < '{_PRUNE_LO}' OR min_ship > '{_PRUNE_HI}'
+       THEN 1 ELSE 0 END AS INT) AS pruned
+FROM p
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -10042,6 +10185,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "join_size_estimate": (q_join_size_estimate, JOIN_SIZE_ESTIMATE_SQL),
     "triangle_count": (q_triangle_count, TRIANGLE_COUNT_SQL),
     "watermark_lag_stats": (q_watermark_lag_stats, WATERMARK_LAG_SQL),
+    "cluster_purity": (q_cluster_purity, CLUSTER_PURITY_SQL),
+    "scan_prune_stats": (q_scan_prune_stats, SCAN_PRUNE_SQL),
 }
 
 

@@ -298,3 +298,74 @@ def test_watermark_lag_stats_rederivation(spark, sf001_dir):
     # non-vacuity: the jittered arrival order produces real lateness,
     # enough to size a watermark from (several nonzero buckets)
     assert len({b for (_, b) in hist if b > 0}) >= 3
+
+
+# -- cluster_purity ------------------------------------------------------------
+
+
+def test_cluster_purity_rederivation(spark, sf001_dir):
+    """Rederive purity in pandas from the SAME materialized assignment
+    frame (the Lloyd chain itself is oracle-checked via ann_kmeans and
+    semdedup); purity/majority arithmetic is re-done independently."""
+    from latyas_spark.relational.registry import (
+        _km_final_assign,
+        _km_vectors,
+    )
+
+    assigned = (
+        _km_final_assign(_km_vectors(spark, sf001_dir))
+        .select("vec_id", "cid")
+        .toPandas()
+    )
+    emb = pd.read_parquet(f"{sf001_dir}/embeddings.parquet")[
+        ["vec_id", "label"]
+    ]
+    m = assigned.merge(emb, on="vec_id")
+    out = (
+        R.q_cluster_purity(spark, sf001_dir).toPandas().set_index("cid")
+    )
+    assert set(out.index) == set(m["cid"].unique())
+    assert int(out["n_vecs"].sum()) == len(emb)
+    for cid, grp in m.groupby("cid"):
+        counts = grp.groupby("label").size()
+        best = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        r = out.loc[cid]
+        assert int(r["n_vecs"]) == len(grp)
+        assert int(r["majority_label"]) == int(best[0])
+        assert int(r["purity_ppm"]) == math.floor(
+            best[1] * 1000000 / len(grp)
+        )
+    # non-vacuity: clusters are purer than the label prior -> the
+    # embedding space actually separates labels
+    n_labels = emb["label"].nunique()
+    assert (out["purity_ppm"] > 1000000 // n_labels).any()
+
+
+# -- scan_prune_stats ----------------------------------------------------------
+
+
+def test_scan_prune_stats_rederivation(spark, sf001_dir):
+    li = pd.read_parquet(f"{sf001_dir}/lineitem.parquet")
+    d = li["l_shipdate"].dt.strftime("%Y-%m-%d")
+    month = li["l_shipdate"].dt.strftime("%Y-%m")
+    out = (
+        R.q_scan_prune_stats(spark, sf001_dir)
+        .toPandas()
+        .set_index("part_month")
+    )
+    grp = pd.DataFrame({"m": month, "d": d}).groupby("m")["d"]
+    assert set(out.index) == set(grp.groups)
+    assert int(out["n_rows"].sum()) == len(li)
+    for m_, ds in grp:
+        r = out.loc[m_]
+        assert int(r["n_rows"]) == len(ds)
+        assert r["min_ship"] == ds.min()
+        assert r["max_ship"] == ds.max()
+        exp_pruned = int(ds.max() < R._PRUNE_LO or ds.min() > R._PRUNE_HI)
+        assert int(r["pruned"]) == exp_pruned
+    # non-vacuity: the predicate prunes MOST partitions (that is the
+    # point of partition stats) but not all
+    pruned_frac = out.loc[out["pruned"] == 1, "n_rows"].sum() / len(li)
+    assert 0.5 < pruned_frac < 1.0

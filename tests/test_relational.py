@@ -102,6 +102,8 @@ SUBSET = [
     "join_size_estimate",
     "triangle_count",
     "watermark_lag_stats",
+    "cluster_purity",
+    "scan_prune_stats",
 ]
 
 
