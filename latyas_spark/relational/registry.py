@@ -9763,6 +9763,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < F.col("nbr_id"))
         .distinct()
         .select(F.col("vec_id").alias("a"), F.col("nbr_id").alias("b"))
+        # 4 consumers below (deg, wedge left, wedge right, closure);
+        # without materialization Catalyst replans the whole LSH+kNN
+        # chain per consumer (same device as pagerank's edge frame)
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("v"))
