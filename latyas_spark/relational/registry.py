@@ -10062,6 +10062,133 @@ FROM p
 """
 
 
+# -- column stats (ANALYZE TABLE primitive, CBO input) ----------------------
+
+_STATS_COLS = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+
+
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table statistics — the ``ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS`` primitive whose output drives every
+    cost-based decision the planner family here consumes
+    (join_size_estimate uses the key histograms, skew_profile the
+    hitters, scan_prune_stats the min/max): for each profiled column,
+    exact distinct count, null count, and min/max rendered as strings
+    (one schema for numeric and categorical columns alike).
+
+    100 TB shape: ONE scan computes all per-column aggregates side by
+    side (count_distinct/min/max are all combinable; Spark rewrites
+    multi-distinct into a single expand — the same shape ANALYZE
+    uses), then the single result row unpivots via ``stack`` into the
+    per-column report.  At 10^12 rows exact NDV becomes a HyperLogLog
+    (approx_count_distinct) with identical plumbing; exact is the
+    oracle-checkable form."""
+    li = _read(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _STATS_COLS:
+        aggs += [
+            F.countDistinct(c).cast("long").alias(f"{c}__ndv"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__ndv, {c}__nulls, {c}__min, {c}__max"
+        for c in _STATS_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_STATS_COLS)}, {stack})"
+            " as (col_name, n_distinct, n_nulls, min_val, max_val)"
+        )
+    )
+
+
+COLUMN_STATS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(MIN({c}) AS VARCHAR) AS min_val,
+  CAST(MAX({c}) AS VARCHAR) AS max_val
+FROM lineitem"""
+    for c in _STATS_COLS
+)
+
+
+# -- equi-width value histogram (CBO selectivity input) ---------------------
+
+_HIST_BINS = 16
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram over l_extendedprice — the
+    selectivity table a cost-based optimizer consults to estimate
+    ``WHERE price < X`` fractions (the range-predicate complement of
+    column_stats' NDV): {b} equal-width bins between the observed
+    min/max, with per-bin row count and exact bin bounds.
+
+    Cross-engine determinism: prices go through DECIMAL(18,2)*100 so
+    every value is an exact int64 of cents; bin assignment is pure
+    integer arithmetic ((v-min)*{b}) div (max-min+1) — no float
+    rounding anywhere, the max value lands in the last bin by
+    construction.
+
+    100 TB shape: pass 1 is a combinable min/max agg (one tiny row,
+    broadcast back); pass 2 bins map-side and collapses to {b} partial
+    rows per task.  Two scans total — or one, where min/max already
+    sit in column_stats/manifest metadata."""
+    li = _read(spark, sf_dir, "lineitem")
+    v = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v")
+    )
+    mm = v.agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    return (
+        v.crossJoin(F.broadcast(mm))
+        .select(
+            F.expr(
+                f"cast((v - vmin) * {_HIST_BINS} div (vmax - vmin + 1)"
+                " as int)"
+            ).alias("bin"),
+            "vmin",
+            "vmax",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr(
+                f"cast(min(vmin) + bin * (max(vmax) - min(vmin) + 1)"
+                f" div {_HIST_BINS} as bigint)"
+            ).alias("bin_lo_cents"),
+        )
+    )
+
+
+q_value_histogram.__doc__ = q_value_histogram.__doc__.format(b=_HIST_BINS)
+
+VALUE_HISTOGRAM_SQL = f"""
+WITH v AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM lineitem
+), mm AS (
+  SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM v
+)
+SELECT CAST((v - vmin) * {_HIST_BINS} // (vmax - vmin + 1) AS INT) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(MIN(vmin) + CAST((v - vmin) * {_HIST_BINS} // (vmax - vmin + 1) AS INT)
+    * (MAX(vmax) - MIN(vmin) + 1) // {_HIST_BINS} AS BIGINT) AS bin_lo_cents
+FROM v, mm
+GROUP BY 1
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -10191,6 +10318,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "watermark_lag_stats": (q_watermark_lag_stats, WATERMARK_LAG_SQL),
     "cluster_purity": (q_cluster_purity, CLUSTER_PURITY_SQL),
     "scan_prune_stats": (q_scan_prune_stats, SCAN_PRUNE_SQL),
+    "column_stats": (q_column_stats, COLUMN_STATS_SQL),
+    "value_histogram": (q_value_histogram, VALUE_HISTOGRAM_SQL),
 }
 
 

@@ -369,3 +369,59 @@ def test_scan_prune_stats_rederivation(spark, sf001_dir):
     # point of partition stats) but not all
     pruned_frac = out.loc[out["pruned"] == 1, "n_rows"].sum() / len(li)
     assert 0.5 < pruned_frac < 1.0
+
+
+# -- column_stats --------------------------------------------------------------
+
+
+def test_column_stats_rederivation(spark, sf001_dir):
+    li = pd.read_parquet(f"{sf001_dir}/lineitem.parquet")
+    out = (
+        R.q_column_stats(spark, sf001_dir).toPandas().set_index("col_name")
+    )
+    assert set(out.index) == set(R._STATS_COLS)
+    for c in R._STATS_COLS:
+        col = li[c]
+        r = out.loc[c]
+        assert int(r["n_distinct"]) == col.nunique()
+        assert int(r["n_nulls"]) == int(col.isna().sum())
+        # min/max compare as strings the way both engines render them;
+        # numeric columns re-parse for a value-level check instead
+        if col.dtype == object:
+            assert r["min_val"] == col.min()
+            assert r["max_val"] == col.max()
+        else:
+            assert float(r["min_val"]) == float(col.min())
+            assert float(r["max_val"]) == float(col.max())
+    # non-vacuity: the profile distinguishes categorical from numeric
+    assert int(out.loc["l_returnflag", "n_distinct"]) < 10
+    assert int(out.loc["l_extendedprice", "n_distinct"]) > 100
+
+
+def test_value_histogram_rederivation(spark, sf001_dir):
+    from decimal import Decimal
+
+    li = pd.read_parquet(f"{sf001_dir}/lineitem.parquet")
+    cents = (
+        li["l_extendedprice"]
+        .map(lambda x: int(Decimal(str(x)).quantize(Decimal("0.01")) * 100))
+        .astype("int64")
+    )
+    vmin, vmax = int(cents.min()), int(cents.max())
+    width_num = vmax - vmin + 1
+    bins = ((cents - vmin) * R._HIST_BINS // width_num).astype(int)
+    out = (
+        R.q_value_histogram(spark, sf001_dir).toPandas().set_index("bin")
+    )
+    exp = bins.value_counts()
+    assert set(out.index) == set(exp.index)
+    assert int(out["n_rows"].sum()) == len(li)
+    for b, n in exp.items():
+        r = out.loc[b]
+        assert int(r["n_rows"]) == n
+        assert int(r["bin_lo_cents"]) == vmin + b * width_num // R._HIST_BINS
+    # every bin within range is populated (equi-width over a dense
+    # uniform-ish price distribution) and the max value lands in the
+    # last bin, never out of range
+    assert bins.max() == R._HIST_BINS - 1
+    assert bins.min() == 0

@@ -104,6 +104,8 @@ SUBSET = [
     "watermark_lag_stats",
     "cluster_purity",
     "scan_prune_stats",
+    "column_stats",
+    "value_histogram",
 ]
 
 
