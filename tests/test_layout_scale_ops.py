@@ -12,6 +12,7 @@ import math
 from collections import Counter
 
 import pandas as pd
+import pytest
 
 from latyas_spark.relational import registry as R
 
@@ -425,3 +426,40 @@ def test_value_histogram_rederivation(spark, sf001_dir):
     # last bin, never out of range
     assert bins.max() == R._HIST_BINS - 1
     assert bins.min() == 0
+
+
+# -- plan-shape guards ---------------------------------------------------------
+
+# Measured executed-plan shuffle counts for the scale-planning family:
+# a regression that adds an Exchange (e.g. losing a partitioning reuse
+# or a broadcast downgrade) fails here before it ever reaches a bench.
+_PLAN_SHUFFLES = {
+    "zorder_layout": 1,  # per-row morton projection + one 64-key agg
+    "bpe_encode": 1,  # ONLY the pair-count learn shuffles; encode is
+    #                   a map-side broadcast-join projection
+    "watermark_lag_stats": 1,  # shard window; histogram agg reuses it
+    "scan_prune_stats": 1,  # one partition-stats agg
+    "media_dedup": 2,  # synth row_number window + content-hash agg
+    "skew_profile": 2,  # key agg + key-space-sized top-K window
+    "event_transitions": 3,  # user window + pair agg + row-normalize
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PLAN_SHUFFLES))
+def test_scale_ops_plan_shuffle_counts(name, spark, sf001_dir):
+    fn = R._REGISTRY[name][0]
+    plan = (
+        fn(spark, sf001_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == _PLAN_SHUFFLES[name], plan
+
+
+def test_bpe_encode_merge_table_is_broadcast(spark, sf001_dir):
+    """The learned merge must reach the corpus as a broadcast, never a
+    shuffled join — that is the whole scan-speed-encode argument."""
+    plan = (
+        R.q_bpe_encode(spark, sf001_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" in plan
