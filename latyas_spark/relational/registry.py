@@ -10189,6 +10189,58 @@ GROUP BY 1
 """
 
 
+# -- k-anonymity audit (privacy governance over quasi-identifiers) ----------
+
+_KANON_K = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    complement of ``pii_scrub`` (which removes direct identifiers):
+    group the corpus by (lang, length-bucket) and flag every
+    equivalence class smaller than k={k}, i.e. combinations specific
+    enough to re-identify a document/author.  A release pipeline
+    either suppresses risky classes or coarsens a bucket (the
+    generalization ladder is literally re-running this query with a
+    wider length bucket).
+
+    100 TB shape: ONE map-side-combinable aggregate over the
+    quasi-identifier key space (langs x ~40 length buckets);
+    the audit table is key-space-sized however large the corpus.
+    Length buckets use integer bit-length (the vocab_growth device)
+    so the ladder is deterministic cross-engine."""
+    docs = _read(spark, sf_dir, "documents")
+    g = docs.select(
+        "lang",
+        (F.length(F.bin(F.col("n_chars") + 1)) - 1)
+        .cast("int")
+        .alias("len_bucket"),
+    ).groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return g.select(
+        "lang",
+        "len_bucket",
+        "n_docs",
+        F.when(F.col("n_docs") < _KANON_K, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("risky"),
+    )
+
+
+q_k_anonymity.__doc__ = q_k_anonymity.__doc__.format(k=_KANON_K)
+
+K_ANONYMITY_SQL = f"""
+SELECT lang,
+  CAST(length(bin(n_chars + 1)) - 1 AS INT) AS len_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(CASE WHEN COUNT(*) < {_KANON_K} THEN 1 ELSE 0 END AS INT) AS risky
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -10320,6 +10372,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "scan_prune_stats": (q_scan_prune_stats, SCAN_PRUNE_SQL),
     "column_stats": (q_column_stats, COLUMN_STATS_SQL),
     "value_histogram": (q_value_histogram, VALUE_HISTOGRAM_SQL),
+    "k_anonymity": (q_k_anonymity, K_ANONYMITY_SQL),
 }
 
 

@@ -463,3 +463,34 @@ def test_bpe_encode_merge_table_is_broadcast(spark, sf001_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastExchange" in plan
+
+
+# -- k_anonymity ---------------------------------------------------------------
+
+
+def test_k_anonymity_rederivation(spark, sf001_dir):
+    docs = pd.read_parquet(f"{sf001_dir}/documents.parquet")
+    lb = (docs["n_chars"] + 1).map(int).map(lambda v: v.bit_length() - 1)
+    grp = (
+        pd.DataFrame({"lang": docs["lang"], "lb": lb})
+        .groupby(["lang", "lb"])
+        .size()
+    )
+    out = (
+        R.q_k_anonymity(spark, sf001_dir)
+        .toPandas()
+        .set_index(["lang", "len_bucket"])
+    )
+    assert set(out.index) == set(grp.index)
+    assert int(out["n_docs"].sum()) == len(docs)
+    for key, n in grp.items():
+        r = out.loc[key]
+        assert int(r["n_docs"]) == n
+        assert int(r["risky"]) == int(n < R._KANON_K)
+    # non-vacuity: the audit finds BOTH risky classes and safe mass
+    assert (out["risky"] == 1).any()
+    assert (out["risky"] == 0).any()
+    # suppressing risky classes must cost < 20% of the corpus (the
+    # audit is actionable, not a blanket rejection)
+    risky_rows = out.loc[out["risky"] == 1, "n_docs"].sum()
+    assert risky_rows / len(docs) < 0.2

@@ -106,6 +106,7 @@ SUBSET = [
     "scan_prune_stats",
     "column_stats",
     "value_histogram",
+    "k_anonymity",
 ]
 
 
