@@ -497,6 +497,19 @@ def _write_report(result: dict) -> None:
                 "removes ~7x of the shuffle-written bytes vs the direct "
                 "feed (task-level event-log decomposition: "
                 "BENCH/SCALING_PROFILE.md).",
+                "",
+                "Reading the warehouse pair: removing the input shuffle "
+                "helps the NARROW leg proportionally more (shuffle cost "
+                "is a larger share of its wall), so the warehouse "
+                "baseline throughput at local[8] rises sharply while "
+                "local[32] — already bound by single-host all-core "
+                "droop (see the busy-loop ceiling) — barely moves; the "
+                "ratio therefore DROPS even though both absolute legs "
+                "improved or held.  On a real multi-host cluster the "
+                "input-shuffle saving applies at every width, so this "
+                "ratio compression is a single-host artifact: compare "
+                "the warehouse legs' absolute docs/sec against the "
+                "direct rounds, not only the 8->32 quotient.",
             ]
         lines += [
             "",
