@@ -10241,6 +10241,81 @@ GROUP BY 1, 2
 """
 
 
+# -- compaction plan (small-file maintenance planner) -----------------------
+
+_COMPACT_TARGET = 2000  # rows per compacted output file (fixture-scaled)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the maintenance pass behind
+    Iceberg ``rewrite_data_files`` / Delta ``OPTIMIZE``: month
+    partitions of lineitem stand in for the manifest's file list
+    (file -> row count), and consecutive files are greedily packed
+    into merge groups of ~{t} rows (a file joins the group its
+    cumulative start falls in — first-fit in key order, so group
+    boundaries are stable under append).  Per group: file count, row
+    total, and the month range it spans; a group with one file is a
+    no-op the executor skips.
+
+    100 TB shape: the plan is computed ENTIRELY on the
+    partition-stats frame (one row per file/partition — manifest
+    metadata, never data), the cumulative sum runs over that
+    key-space-sized frame (the corpus_select/vocab_growth cumsum
+    trick), and only the executor that APPLIES the plan touches
+    bytes.  Planning cost is independent of corpus size."""
+    li = _read(spark, sf_dir, "lineitem")
+    files = (
+        li.select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("part_month")
+        )
+        .groupBy("part_month")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    w = Window.orderBy("part_month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = files.select(
+        "part_month",
+        "n_rows",
+        F.expr(
+            f"cast((sum(n_rows) over (order by part_month"
+            f" rows between unbounded preceding and current row)"
+            f" - n_rows) div {_COMPACT_TARGET} as bigint)"
+        ).alias("group_id"),
+    )
+    return staged.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("part_month").alias("first_month"),
+        F.max("part_month").alias("last_month"),
+    )
+
+
+q_compaction_plan.__doc__ = q_compaction_plan.__doc__.format(
+    t=_COMPACT_TARGET
+)
+
+COMPACTION_PLAN_SQL = f"""
+WITH files AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+    CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+), staged AS (
+  SELECT part_month, n_rows,
+    CAST((SUM(n_rows) OVER (ORDER BY part_month
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_rows)
+      // {_COMPACT_TARGET} AS BIGINT) AS group_id
+  FROM files
+)
+SELECT group_id,
+  CAST(COUNT(*) AS BIGINT) AS n_files,
+  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+  MIN(part_month) AS first_month,
+  MAX(part_month) AS last_month
+FROM staged GROUP BY group_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -10373,6 +10448,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "column_stats": (q_column_stats, COLUMN_STATS_SQL),
     "value_histogram": (q_value_histogram, VALUE_HISTOGRAM_SQL),
     "k_anonymity": (q_k_anonymity, K_ANONYMITY_SQL),
+    "compaction_plan": (q_compaction_plan, COMPACTION_PLAN_SQL),
 }
 
 

@@ -494,3 +494,45 @@ def test_k_anonymity_rederivation(spark, sf001_dir):
     # audit is actionable, not a blanket rejection)
     risky_rows = out.loc[out["risky"] == 1, "n_docs"].sum()
     assert risky_rows / len(docs) < 0.2
+
+
+# -- compaction_plan -----------------------------------------------------------
+
+
+def test_compaction_plan_rederivation(spark, sf001_dir):
+    li = pd.read_parquet(f"{sf001_dir}/lineitem.parquet")
+    files = (
+        li["l_shipdate"]
+        .dt.strftime("%Y-%m")
+        .value_counts()
+        .sort_index()
+    )
+    cum = 0
+    groups = {}
+    for month, n in files.items():
+        gid = cum // R._COMPACT_TARGET
+        groups.setdefault(gid, []).append((month, int(n)))
+        cum += int(n)
+    out = (
+        R.q_compaction_plan(spark, sf001_dir).toPandas().set_index("group_id")
+    )
+    assert set(out.index) == set(groups)
+    assert int(out["n_rows"].sum()) == len(li)
+    for gid, members in groups.items():
+        r = out.loc[gid]
+        assert int(r["n_files"]) == len(members)
+        assert int(r["n_rows"]) == sum(n for _, n in members)
+        assert r["first_month"] == members[0][0]
+        assert r["last_month"] == members[-1][0]
+    # plan properties: groups partition the timeline contiguously (no
+    # month range overlap between consecutive groups), and overshoot
+    # is bounded — a group spans at most one target window plus the
+    # largest single file (start-window binning admits small groups
+    # when a file lands late in its window, but never huge ones)
+    months_sorted = sorted(out["first_month"])
+    assert months_sorted == list(out.sort_index()["first_month"])
+    max_file = int(files.max())
+    assert (out["n_rows"] <= R._COMPACT_TARGET + max_file).all()
+    # non-vacuity: the plan actually merges (multiple files per group)
+    assert (out["n_files"] > 1).any()
+    assert len(out) > 1

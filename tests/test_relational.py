@@ -107,6 +107,7 @@ SUBSET = [
     "column_stats",
     "value_histogram",
     "k_anonymity",
+    "compaction_plan",
 ]
 
 
