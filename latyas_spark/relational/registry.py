@@ -10316,6 +10316,164 @@ FROM staged GROUP BY group_id
 """
 
 
+# -- classifier precision/recall eval (per-class, integer ppm) --------------
+
+
+def q_classifier_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 for the langid heuristic against
+    the ground-truth ``lang`` column — the eval table every
+    quality/language classifier in a curation stack ships with (the
+    confusion matrix itself is the ``langid`` query; this is the
+    derived-metric layer a model card reports).
+
+    Metric arithmetic: TP/FP/FN come from the confusion matrix by
+    marginal sums; precision = TP/(TP+FP), recall = TP/(TP+FN), and
+    F1's 2PR/(P+R) is computed as 2*TP/(2*TP + FP + FN) — the
+    integer-safe identity that avoids dividing two already-rounded
+    ratios; all three floor to ppm.  Classes are the UNION of true and
+    predicted labels so a class the model never predicts still reports
+    recall (zeros, not missing rows).
+
+    100 TB shape: everything derives from the |classes|^2 confusion
+    matrix — one combinable groupBy over the corpus, then marginal
+    joins on the tiny frame.  Evaluation cost is corpus-scan + eps."""
+    cm = q_langid(spark, sf_dir).select(
+        F.col("lang").alias("t"),
+        F.col("pred_lang").alias("p"),
+        F.col("n_docs").cast("long").alias("n"),
+    ).localCheckpoint(eager=False)
+    classes = (
+        cm.select(F.col("t").alias("cls"))
+        .unionByName(cm.select(F.col("p").alias("cls")))
+        .distinct()
+    )
+    tp = cm.filter(F.col("t") == F.col("p")).select(
+        F.col("t").alias("cls"), F.col("n").alias("tp")
+    )
+    pred = cm.groupBy("p").agg(F.sum("n").alias("n_pred"))
+    true = cm.groupBy("t").agg(F.sum("n").alias("n_true"))
+    j = (
+        classes.join(tp, "cls", "left")
+        .join(pred.withColumnRenamed("p", "cls"), "cls", "left")
+        .join(true.withColumnRenamed("t", "cls"), "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+        )
+    )
+    def ppm(num, den):
+        return (
+            F.when(den > 0, F.floor(num * 1000000 / den))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return j.select(
+        "cls",
+        "tp",
+        "n_pred",
+        "n_true",
+        ppm(F.col("tp"), F.col("n_pred")).alias("precision_ppm"),
+        ppm(F.col("tp"), F.col("n_true")).alias("recall_ppm"),
+        ppm(
+            2 * F.col("tp"),
+            2 * F.col("tp") + (F.col("n_pred") - F.col("tp"))
+            + (F.col("n_true") - F.col("tp")),
+        ).alias("f1_ppm"),
+    )
+
+
+CLASSIFIER_PR_EVAL_SQL = f"""
+WITH cm AS (
+  SELECT lang AS t,
+    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         WHEN regexp_matches(text, '(^| )(the|and|of|a)( |$)') THEN 'en'
+         ELSE 'other' END AS p,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), classes AS (
+  SELECT t AS cls FROM cm UNION SELECT p AS cls FROM cm
+), tp AS (
+  SELECT t AS cls, n AS tp FROM cm WHERE t = p
+), pred AS (
+  SELECT p AS cls, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm GROUP BY p
+), tru AS (
+  SELECT t AS cls, CAST(SUM(n) AS BIGINT) AS n_true FROM cm GROUP BY t
+), j AS (
+  SELECT classes.cls,
+    CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+    CAST(COALESCE(pred.n_pred, 0) AS BIGINT) AS n_pred,
+    CAST(COALESCE(tru.n_true, 0) AS BIGINT) AS n_true
+  FROM classes
+  LEFT JOIN tp ON classes.cls = tp.cls
+  LEFT JOIN pred ON classes.cls = pred.cls
+  LEFT JOIN tru ON classes.cls = tru.cls
+)
+SELECT cls, tp, n_pred, n_true,
+  CAST(CASE WHEN n_pred > 0 THEN floor(tp * 1000000 / n_pred)
+       ELSE 0 END AS BIGINT) AS precision_ppm,
+  CAST(CASE WHEN n_true > 0 THEN floor(tp * 1000000 / n_true)
+       ELSE 0 END AS BIGINT) AS recall_ppm,
+  CAST(CASE WHEN 2 * tp + (n_pred - tp) + (n_true - tp) > 0
+       THEN floor(2 * tp * 1000000
+                  / (2 * tp + (n_pred - tp) + (n_true - tp)))
+       ELSE 0 END AS BIGINT) AS f1_ppm
+FROM j
+"""
+
+
+# -- kind pivot (wide-format per-page block-kind matrix) --------------------
+
+_PIVOT_KINDS = ["text", "title", "figure", "table", "equation"]
+
+
+def q_kind_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT to wide format: per (doc, page), one column per block
+    kind — the feature-matrix layout a page-level layout classifier
+    trains on (one row per page, kind counts as features).  Pivot
+    values are a FIXED, declared list: that is the only pivot shape
+    that scales (a dynamic pivot needs a collect() of the value set
+    first — driver round-trip and non-deterministic column order) and
+    the only one whose schema a downstream table can depend on.
+
+    100 TB shape: conditional aggregation compiles to ONE combinable
+    groupBy over (doc, page) — each partial row carries the fixed
+    {n}-column vector; no per-kind scans, no explode, no shuffle
+    beyond the one the page key needs anyway."""
+    b = synth_blocks(spark, sf_dir).withColumn("kind", _classify_col())
+    aggs = [
+        F.sum(F.when(F.col("kind") == k, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{k}")
+        for k in _PIVOT_KINDS
+    ]
+    other = F.sum(
+        F.when(~F.col("kind").isin(*_PIVOT_KINDS), 1).otherwise(0)
+    ).cast("long").alias("n_other")
+    return b.groupBy("doc_id", "page").agg(*aggs, other)
+
+
+q_kind_pivot.__doc__ = q_kind_pivot.__doc__.format(n=len(_PIVOT_KINDS) + 1)
+
+KIND_PIVOT_SQL = (
+    _blocks_cte()
+    + ", k AS (SELECT doc_id, page, "
+    + CLASSIFY_SQL_CASE
+    + " AS kind FROM blocks)\nSELECT doc_id, page,\n"
+    + ",\n".join(
+        f"  CAST(SUM(CASE WHEN kind = '{k}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{k}"
+        for k in _PIVOT_KINDS
+    )
+    + ",\n  CAST(SUM(CASE WHEN kind NOT IN ("
+    + ", ".join(f"'{k}'" for k in _PIVOT_KINDS)
+    + ") THEN 1 ELSE 0 END) AS BIGINT) AS n_other\n"
+    + "FROM k GROUP BY doc_id, page"
+)
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
@@ -10449,6 +10607,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "value_histogram": (q_value_histogram, VALUE_HISTOGRAM_SQL),
     "k_anonymity": (q_k_anonymity, K_ANONYMITY_SQL),
     "compaction_plan": (q_compaction_plan, COMPACTION_PLAN_SQL),
+    "classifier_pr_eval": (q_classifier_pr_eval, CLASSIFIER_PR_EVAL_SQL),
+    "kind_pivot": (q_kind_pivot, KIND_PIVOT_SQL),
 }
 
 

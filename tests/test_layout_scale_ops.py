@@ -536,3 +536,89 @@ def test_compaction_plan_rederivation(spark, sf001_dir):
     # non-vacuity: the plan actually merges (multiple files per group)
     assert (out["n_files"] > 1).any()
     assert len(out) > 1
+
+
+# -- classifier_pr_eval --------------------------------------------------------
+
+
+def test_classifier_pr_eval_rederivation(spark, sf001_dir):
+    """Rederive P/R/F1 with sklearn-style set arithmetic in python
+    from the SAME confusion matrix (the matrix itself is the
+    oracle-checked langid query)."""
+    cm = R.q_langid(spark, sf001_dir).toPandas()
+    classes = set(cm["lang"]) | set(cm["pred_lang"])
+    out = (
+        R.q_classifier_pr_eval(spark, sf001_dir)
+        .toPandas()
+        .set_index("cls")
+    )
+    assert set(out.index) == classes
+    for c in classes:
+        tp = int(cm[(cm["lang"] == c) & (cm["pred_lang"] == c)]["n_docs"].sum())
+        n_pred = int(cm[cm["pred_lang"] == c]["n_docs"].sum())
+        n_true = int(cm[cm["lang"] == c]["n_docs"].sum())
+        r = out.loc[c]
+        assert int(r["tp"]) == tp
+        assert int(r["n_pred"]) == n_pred
+        assert int(r["n_true"]) == n_true
+        assert int(r["precision_ppm"]) == (
+            math.floor(tp * 1000000 / n_pred) if n_pred else 0
+        )
+        assert int(r["recall_ppm"]) == (
+            math.floor(tp * 1000000 / n_true) if n_true else 0
+        )
+        den = 2 * tp + (n_pred - tp) + (n_true - tp)
+        assert int(r["f1_ppm"]) == (
+            math.floor(2 * tp * 1000000 / den) if den else 0
+        )
+    # non-vacuity: the heuristic is good on en but not perfect overall
+    assert int(out.loc["en", "recall_ppm"]) > 500000
+    assert (out["f1_ppm"] < 1000000).any()
+
+
+# -- kind_pivot ----------------------------------------------------------------
+
+
+def test_kind_pivot_rederivation(spark, sf001_dir):
+    from latyas_spark.pipeline.adapter import synth_blocks
+
+    b = synth_blocks(spark, sf001_dir).toPandas()
+    out = (
+        R.q_kind_pivot(spark, sf001_dir)
+        .toPandas()
+        .set_index(["doc_id", "page"])
+        .sort_index()
+    )
+    # wide schema is fixed and row count = page count
+    assert list(out.columns) == [
+        f"n_{k}" for k in R._PIVOT_KINDS
+    ] + ["n_other"]
+    pages = b.groupby(["doc_id", "page"]).size()
+    assert set(out.index) == set(pages.index)
+    # row sums reconstruct the page block counts (pivot loses nothing)
+    got_sums = out.sum(axis=1)
+    for key, n in pages.items():
+        assert int(got_sums.loc[key]) == int(n)
+    # spot-check one kind column against a direct label count: the
+    # classify chain is oracle-checked elsewhere (classify_counts);
+    # here we pin the pivot bookkeeping
+    n_title_direct = int(
+        b["label"].str.lower().str.contains("title").sum()
+    )
+    assert int(out["n_title"].sum()) <= n_title_direct  # title wins only
+    # if no earlier needle matched
+    assert int(out["n_title"].sum()) > 0
+
+
+def test_kind_pivot_single_exchange(spark, sf001_dir):
+    """Conditional aggregation must compile to ONE shuffle total: the
+    (doc_id, page) groupBy REUSES the synth window's doc_id hash
+    partitioning (grouping on a superset of the partition key needs no
+    re-exchange), and the fixed-column pivot adds no per-kind scans or
+    unions."""
+    plan = (
+        R.q_kind_pivot(spark, sf001_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, plan

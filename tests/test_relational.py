@@ -108,6 +108,8 @@ SUBSET = [
     "value_histogram",
     "k_anonymity",
     "compaction_plan",
+    "classifier_pr_eval",
+    "kind_pivot",
 ]
 
 
