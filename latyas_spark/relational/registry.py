@@ -2192,7 +2192,24 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs via an inverted-index join.
+    """Word-3-gram Jaccard near-dup pairs via an inverted-index join
+    (final select over the shared _ngram_inter_frame candidates)."""
+    inter = _ngram_inter_frame(spark, sf_dir)
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _ngram_inter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate frame (doc_a, doc_b, inter, na, nb) for the
+    word-3-gram near-dup family (q_ngram_jaccard, q_ngram_containment).
 
     Scale shape: NOT an n^2 doc cross join — per-doc distinct grams
     (map-side array_distinct) explode into an inverted index; gram
@@ -2290,20 +2307,43 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # na/nb are functionally determined by doc_a/doc_b, so max() just
     # reads the value — one combinable agg, no join back to the corpus.
-    inter = pairs.groupBy("doc_a", "doc_b").agg(
+    return pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("inter"),
         F.max("na").alias("na"),
         F.max("nb").alias("nb"),
     )
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs (Broder 1997's second
+    resemblance measure): |A∩B| / |A| and |A∩B| / |B| per candidate
+    pair — the quote/subset detector Jaccard structurally misses: a
+    200-gram doc fully embedded in a 10,000-gram doc scores Jaccard
+    0.02 (invisible) but containment 1.0.  Emits both directions in
+    integer ppm plus the shared-gram count, keeping pairs where either
+    direction reaches 50%.
+
+    100 TB shape: IDENTICAL to ngram_jaccard's — the same one-pass
+    inverted-index frame (df<=64 skew cap before any posting list,
+    map-side pair explosion, gram-set sizes riding along) feeds both
+    measures; only the final arithmetic differs, so the near-dup
+    family shares one candidate-generation cost."""
+    inter = _ngram_inter_frame(spark, sf_dir)
+    a_in_b = F.floor(F.col("inter") * 1000000 / F.col("na")).cast("long")
+    b_in_a = F.floor(F.col("inter") * 1000000 / F.col("nb")).cast("long")
     return (
-        inter.withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
-            ),
+        inter.filter(F.col("inter") >= 2)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("shared"),
+            a_in_b.alias("cont_a_in_b_ppm"),
+            b_in_a.alias("cont_b_in_a_ppm"),
         )
-        .filter(F.col("jaccard") >= 0.4)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(
+            (F.col("cont_a_in_b_ppm") >= 500000)
+            | (F.col("cont_b_in_a_ppm") >= 500000)
+        )
     )
 
 
@@ -2339,6 +2379,23 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.4
 """
+
+# Containment shares the jaccard CTE chain verbatim up to `inter`;
+# only the final measure differs (see q_ngram_containment).
+NGRAM_CONTAINMENT_SQL = (
+    NGRAM_JACCARD_SQL.split("SELECT doc_a, doc_b,")[0]
+    + """SELECT doc_a, doc_b,
+  CAST(inter AS BIGINT) AS shared,
+  CAST(floor(inter * 1000000 / sa.n) AS BIGINT) AS cont_a_in_b_ppm,
+  CAST(floor(inter * 1000000 / sb.n) AS BIGINT) AS cont_b_in_a_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter >= 2
+  AND (floor(inter * 1000000 / sa.n) >= 500000
+       OR floor(inter * 1000000 / sb.n) >= 500000)
+"""
+)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10609,6 +10666,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "compaction_plan": (q_compaction_plan, COMPACTION_PLAN_SQL),
     "classifier_pr_eval": (q_classifier_pr_eval, CLASSIFIER_PR_EVAL_SQL),
     "kind_pivot": (q_kind_pivot, KIND_PIVOT_SQL),
+    "ngram_containment": (q_ngram_containment, NGRAM_CONTAINMENT_SQL),
 }
 
 

@@ -622,3 +622,81 @@ def test_kind_pivot_single_exchange(spark, sf001_dir):
     )
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles == 1, plan
+
+
+# -- ngram_containment ---------------------------------------------------------
+
+
+def test_ngram_containment_rederivation(spark, sf001_dir):
+    docs = pd.read_parquet(f"{sf001_dir}/documents.parquet")
+    gsets = {}
+    for r in docs.itertuples():
+        ws = str(r.text).split()
+        gsets[str(r.doc_id)] = {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        }
+    # candidate generation uses the df<=64 cap — mirror it
+    df = Counter(g for gs in gsets.values() for g in gs)
+    kept = {g for g, c in df.items() if c <= 64}
+    out = (
+        R.q_ngram_containment(spark, sf001_dir)
+        .toPandas()
+        .set_index(["doc_a", "doc_b"])
+    )
+    expected = {}
+    ids = sorted(gsets)
+    for key, row in out.iterrows():
+        a, b = key
+        shared = len((gsets[a] & gsets[b]) & kept)
+        na, nb = len(gsets[a]), len(gsets[b])
+        assert int(row["shared"]) == shared
+        assert int(row["cont_a_in_b_ppm"]) == math.floor(
+            shared * 1000000 / na
+        )
+        assert int(row["cont_b_in_a_ppm"]) == math.floor(
+            shared * 1000000 / nb
+        )
+    # completeness: every qualifying pair is present
+    n_expected = 0
+    docs_by_gram = {}
+    for d, gs in gsets.items():
+        for g in gs & kept:
+            docs_by_gram.setdefault(g, set()).add(d)
+    cand = set()
+    for ds in docs_by_gram.values():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                cand.add((a, b))
+    for a, b in cand:
+        shared = len((gsets[a] & gsets[b]) & kept)
+        if shared >= 2 and (
+            shared * 1000000 // len(gsets[a]) >= 500000
+            or shared * 1000000 // len(gsets[b]) >= 500000
+        ):
+            n_expected += 1
+            assert (a, b) in out.index
+    assert len(out) == n_expected
+    assert n_expected > 0
+
+
+def test_ngram_containment_finds_subset_jaccard_misses(spark, tmp_path):
+    """The operator's reason to exist: a small doc fully embedded in a
+    much larger one scores containment 1.0 but Jaccard far below the
+    0.4 near-dup cut."""
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} w{i}x w{i}y" for i in range(120))
+    big = small + " " + filler
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": [small, big]}
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+    cont = (
+        R.q_ngram_containment(spark, str(tmp_path))
+        .toPandas()
+        .set_index(["doc_a", "doc_b"])
+    )
+    jac = R.q_ngram_jaccard(spark, str(tmp_path)).toPandas()
+    r = cont.loc[("1", "2")]
+    assert int(r["cont_a_in_b_ppm"]) == 1000000  # fully contained
+    assert int(r["cont_b_in_a_ppm"]) < 100000
+    assert len(jac) == 0  # jaccard's 0.4 cut misses the subset pair

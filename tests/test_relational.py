@@ -110,6 +110,7 @@ SUBSET = [
     "compaction_plan",
     "classifier_pr_eval",
     "kind_pivot",
+    "ngram_containment",
 ]
 
 
