@@ -355,25 +355,31 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
         steps.append((step_ix, et, cur))
         prev = cur
+    # Each step's count is a single-row frame, so the previous-step
+    # denominator is a broadcast cross join — no WindowExec at all.
     counts = None
+    prev_n = None
     for step_ix, et, frame in steps:
-        c = frame.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(step_ix + 1).alias("step"),
-            F.lit(et).alias("event_type"),
-            "n_users",
-        )
+        n = frame.agg(F.count(F.lit(1)).alias("n_users"))
+        if prev_n is None:
+            c = n.select(
+                F.lit(step_ix + 1).alias("step"),
+                F.lit(et).alias("event_type"),
+                "n_users",
+                F.round(F.lit(1.0), 6).alias("pct_of_prev"),
+            )
+        else:
+            c = n.crossJoin(F.broadcast(prev_n)).select(
+                F.lit(step_ix + 1).alias("step"),
+                F.lit(et).alias("event_type"),
+                "n_users",
+                F.round(F.col("n_users") / F.col("prev_users"), 6).alias(
+                    "pct_of_prev"
+                ),
+            )
         counts = c if counts is None else counts.unionByName(c)
-    w = Window.orderBy("step")
-    return counts.select(
-        "step",
-        "event_type",
-        "n_users",
-        F.round(
-            F.col("n_users")
-            / F.coalesce(F.lag("n_users").over(w), F.col("n_users")),
-            6,
-        ).alias("pct_of_prev"),
-    )
+        prev_n = n.select(F.col("n_users").alias("prev_users"))
+    return counts
 
 
 FUNNEL_STEPS_SQL = """
@@ -2347,7 +2353,13 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NGRAM_JACCARD_SQL = """
+# Shared CTE chain for the ngram-overlap family (jaccard +
+# containment): shingle -> distinct grams -> df<=64 cap -> inverted
+# index -> pair intersection counts.  A named constant (not a split
+# of one SQL string on a literal) so rewording either final SELECT
+# cannot silently corrupt the other — mirrors the Python-side
+# _ngram_inter_frame refactor.
+_NGRAM_INTER_CTE = """
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          string_split_regex(text, ' +') AS w
@@ -2372,18 +2384,21 @@ WITH d AS (
   FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT doc_a, doc_b,
+"""
+
+NGRAM_JACCARD_SQL = (
+    _NGRAM_INTER_CTE
+    + """SELECT doc_a, doc_b,
   round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.4
 """
+)
 
-# Containment shares the jaccard CTE chain verbatim up to `inter`;
-# only the final measure differs (see q_ngram_containment).
 NGRAM_CONTAINMENT_SQL = (
-    NGRAM_JACCARD_SQL.split("SELECT doc_a, doc_b,")[0]
+    _NGRAM_INTER_CTE
     + """SELECT doc_a, doc_b,
   CAST(inter AS BIGINT) AS shared,
   CAST(floor(inter * 1000000 / sa.n) AS BIGINT) AS cont_a_in_b_ppm,
@@ -5776,10 +5791,33 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = _ppl_per_doc(spark, sf_dir).localCheckpoint(eager=False)
     b = F.lit(CORPUS_SELECT_BUDGET).cast("long")
     hist = per_doc.groupBy("mbits").agg(F.sum("n_tokens").alias("btok"))
-    wh = Window.orderBy("mbits").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Key-space cumsum WITHOUT a global WindowExec: partition the
+    # histogram into coarse score bands (mbits div 1024), cumsum
+    # WITHIN each band under a partitioned window, and add each
+    # band's running offset via a broadcast theta-join on the
+    # bands-sized totals frame.  The band frame is key-space/1024
+    # rows, so the nested-loop offset join is O(bands^2) over a
+    # broadcast input — no single-task window anywhere in the plan.
+    banded = hist.withColumn("band", F.expr("mbits div 1024"))
+    wh = (
+        Window.partitionBy("band")
+        .orderBy("mbits")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    hcum = hist.withColumn("cum", F.sum("btok").over(wh))
+    btot = banded.groupBy("band").agg(F.sum("btok").alias("band_tok"))
+    boff = (
+        btot.select(F.col("band").alias("ob"), "band_tok")
+        .join(F.broadcast(btot.select("band")), F.col("ob") < F.col("band"))
+        .groupBy("band")
+        .agg(F.sum("band_tok").alias("off"))
+    )
+    hcum = (
+        banded.withColumn("wcum", F.sum("btok").over(wh))
+        .join(F.broadcast(boff), "band", "left")
+        .withColumn(
+            "cum", F.coalesce(F.col("off"), F.lit(0)) + F.col("wcum")
+        )
+    )
     # T = first (lowest-mbits) bucket whose cumulative tokens exceed
     # the budget; rem = budget left after every bucket strictly below
     # T.  One row, possibly with NULL t_mbits (= corpus fits entirely).
@@ -5870,10 +5908,24 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("pair").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    # Top-K via TakeOrderedAndProject (per-partition partial top-K),
+    # rank assigned on the K-row frame by broadcast self-count — no
+    # single-task WindowExec over the pair key space.
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(_BPE_TOPK)
+        .localCheckpoint(eager=False)
+    )
+    o = top.select(F.col("pair").alias("op"), F.col("cnt").alias("ocnt"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _BPE_TOPK)
+        top.join(
+            F.broadcast(o),
+            (F.col("ocnt") > F.col("cnt"))
+            | ((F.col("ocnt") == F.col("cnt")) & (F.col("op") < F.col("pair"))),
+            "left",
+        )
+        .groupBy("pair", "cnt")
+        .agg((F.count("op") + 1).cast("long").alias("rank"))
         .select("pair", "cnt", "rank")
     )
 
@@ -7872,15 +7924,30 @@ def q_rolling_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
-    w = Window.orderBy("dnum").rangeBetween(-6, 0)
-    return daily.select(
-        # ISO string, not DATE: date columns reach pandas as python
-        # date objects on the Spark side but datetime64 on the DuckDB
-        # side, which the order-insensitive value compare can't unify
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        "n_events",
-        "n_users",
-        F.sum("n_events").over(w).cast("bigint").alias("rolling7_events"),
+    # Rolling-7 via a broadcast range join on the calendar-bounded
+    # daily frame (one row per day) instead of a global range window:
+    # same result, no single-task WindowExec, and the daily frame
+    # stays tiny (= days in the corpus) at any corpus size.
+    contrib = daily.select(
+        F.col("dnum").alias("odnum"), F.col("n_events").alias("oev")
+    )
+    return (
+        daily.join(
+            F.broadcast(contrib),
+            (F.col("odnum") >= F.col("dnum") - 6)
+            & (F.col("odnum") <= F.col("dnum")),
+        )
+        .groupBy("day", "n_events", "n_users")
+        .agg(F.sum("oev").cast("bigint").alias("rolling7_events"))
+        .select(
+            # ISO string, not DATE: date columns reach pandas as python
+            # date objects on the Spark side but datetime64 on the DuckDB
+            # side, which the order-insensitive value compare can't unify
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_users",
+            "rolling7_events",
+        )
     )
 
 
@@ -9249,11 +9316,17 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("new_grams")
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Cumulative vocab via broadcast self-join on the <=64-row bucket
+    # frame (ob <= bucket) — window-free, same key-space-cumsum shape
+    # as corpus_select/compaction_plan.
+    contrib = buckets.select(
+        F.col("bucket").alias("ob"), F.col("new_grams").alias("og")
     )
     return (
-        buckets.crossJoin(F.broadcast(n_docs))
+        buckets.join(F.broadcast(contrib), F.col("ob") <= F.col("bucket"))
+        .groupBy("bucket", "new_grams")
+        .agg(F.sum("og").cast("bigint").alias("cum_vocab"))
+        .crossJoin(F.broadcast(n_docs))
         .select(
             F.col("bucket").cast("int").alias("bucket"),
             F.expr(
@@ -9261,8 +9334,8 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " n_docs) as bigint)"
             ).alias("prefix_docs"),
             "new_grams",
+            "cum_vocab",
         )
-        .withColumn("cum_vocab", F.sum("new_grams").over(w))
     )
 
 
@@ -9376,21 +9449,40 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-IN-list skew split).
 
     100 TB shape: ONE map-side-combinable groupBy on the key (the
-    shuffle carries per-task partials, never rows), then rank on the
-    aggregated frame.  At 10^12 rows one would swap the exact count
-    for a count-min sketch to bound the aggregate; the exact form is
-    the oracle-checkable shape and the share/salt arithmetic is
-    identical.  All-integer output (share in ppm, not a float)."""
+    shuffle carries per-task partials, never rows), then the top-K
+    via orderBy().limit(K) — TakeOrderedAndProject, per-partition
+    partial top-K, never a global sort or single-task window even
+    when the distinct-key frame is itself huge — and rank assigned
+    on the K-row frame by a broadcast self-count.  At 10^12 rows one
+    would swap the exact count for a count-min sketch to bound the
+    aggregate; the exact form is the oracle-checkable shape and the
+    share/salt arithmetic is identical.  All-integer output (share
+    in ppm, not a float)."""
     ev = _read(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
     total = ev.agg(F.count(F.lit(1)).alias("total"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
+    # localCheckpoint: the K-row frame feeds both sides of the rank
+    # self-join; without it each side would rerun the corpus agg.
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(_SKEW_TOPK)
+        .localCheckpoint(eager=False)
+    )
+    o = top.select(F.col("user_id").alias("ou"), F.col("cnt").alias("ocnt"))
+    ranked = (
+        top.join(
+            F.broadcast(o),
+            (F.col("ocnt") > F.col("cnt"))
+            | ((F.col("ocnt") == F.col("cnt")) & (F.col("ou") < F.col("user_id"))),
+            "left",
+        )
+        .groupBy("user_id", "cnt")
+        .agg((F.count("ou") + 1).cast("long").alias("rank"))
+    )
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _SKEW_TOPK)
-        .crossJoin(F.broadcast(total))
+        ranked.crossJoin(F.broadcast(total))
         .select(
             F.col("user_id").cast("long").alias("user_id"),
             "cnt",
@@ -9537,11 +9629,8 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         pairs.groupBy("pair")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("pair"))),
-        )
-        .filter(F.col("rank") == 1)
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(1)
         .select(F.col("pair").alias("mp"))
     )
     d = docs.select(
@@ -10316,9 +10405,10 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the plan is computed ENTIRELY on the
     partition-stats frame (one row per file/partition — manifest
-    metadata, never data), the cumulative sum runs over that
-    key-space-sized frame (the corpus_select/vocab_growth cumsum
-    trick), and only the executor that APPLIES the plan touches
+    metadata, never data), the cumulative sum runs banded per year
+    (partitioned window + broadcast band-offset join, so even a
+    multi-million-file manifest never funnels through a single-task
+    WindowExec), and only the executor that APPLIES the plan touches
     bytes.  Planning cost is independent of corpus size."""
     li = _read(spark, sf_dir, "lineitem")
     files = (
@@ -10328,17 +10418,34 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_month")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
-    w = Window.orderBy("part_month").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Manifest cumsum WITHOUT a global WindowExec (a 100 TB table's
+    # manifest is itself millions of files): cumsum within each YEAR
+    # band under a partitioned window, band offsets via a broadcast
+    # theta-join on the years-sized totals frame.
+    banded = files.withColumn("band", F.substring("part_month", 1, 4))
+    wm = (
+        Window.partitionBy("band")
+        .orderBy("part_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    staged = files.select(
-        "part_month",
-        "n_rows",
-        F.expr(
-            f"cast((sum(n_rows) over (order by part_month"
-            f" rows between unbounded preceding and current row)"
-            f" - n_rows) div {_COMPACT_TARGET} as bigint)"
-        ).alias("group_id"),
+    btot = banded.groupBy("band").agg(F.sum("n_rows").alias("band_rows"))
+    boff = (
+        btot.select(F.col("band").alias("ob"), "band_rows")
+        .join(F.broadcast(btot.select("band")), F.col("ob") < F.col("band"))
+        .groupBy("band")
+        .agg(F.sum("band_rows").alias("off"))
+    )
+    staged = (
+        banded.withColumn("wcum", F.sum("n_rows").over(wm))
+        .join(F.broadcast(boff), "band", "left")
+        .select(
+            "part_month",
+            "n_rows",
+            F.expr(
+                f"cast((coalesce(off, 0) + wcum - n_rows)"
+                f" div {_COMPACT_TARGET} as bigint)"
+            ).alias("group_id"),
+        )
     )
     return staged.groupBy("group_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_files"),
@@ -10532,56 +10639,11 @@ KIND_PIVOT_SQL = (
 
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
-    "pricing_summary": (q_pricing_summary, PRICING_SQL),
-    "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
-    "topk_orders": (q_topk_orders, TOPK_SQL),
-    "page_assembly": (q_page_assembly, PAGE_ASSEMBLY_SQL),
-    "sessionize": (q_sessionize, SESSIONIZE_SQL),
-    "grid_rank": (q_grid_rank, GRID_RANK_SQL),
-    "overlap_pairs": (q_overlap_pairs, OVERLAP_PAIRS_SQL),
-    "containment_pairs": (q_containment_pairs, CONTAINMENT_SQL),
-    "ship_window_pairs": (q_ship_window_pairs, SHIP_WINDOW_SQL),
-    "classify_counts": (q_classify_counts, CLASSIFY_COUNTS_SQL),
-    "confidence_filter": (q_confidence_filter, CONFIDENCE_SQL),
-    "media_manifest": (q_media_manifest, MEDIA_MANIFEST_SQL),
-    "union_dedup": (q_union_dedup, UNION_DEDUP_SQL),
-    "levenshtein_arbitration": (q_levenshtein_arbitration, LEVENSHTEIN_SQL),
-    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
-    "minhash_pairs": (q_minhash_pairs, MINHASH_SQL),
-    "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
-    "dedup_clusters_star": (q_dedup_clusters_star, DEDUP_CLUSTERS_SQL),
-    "dedup_canonical": (q_dedup_canonical, DEDUP_CANONICAL_SQL),
-    "simhash_buckets": (q_simhash_buckets, SIMHASH_SQL),
-    "simhash_pairs": (q_simhash_pairs, SIMHASH_PAIRS_SQL),
-    "ann_pq": (q_ann_pq, ANN_PQ_SQL),
-    "corpus_rollup": (q_corpus_rollup, CORPUS_ROLLUP_SQL),
-    "rolling_activity": (q_rolling_activity, ROLLING_ACTIVITY_SQL),
-    "quality_deciles": (q_quality_deciles, QUALITY_DECILES_SQL),
-    "stitch_fragments": (q_stitch_fragments, STITCH_FRAGMENTS_SQL),
-    "audio_windows": (q_audio_windows, AUDIO_WINDOWS_SQL),
-    "cosine_topk": (q_cosine_topk, COSINE_SQL),
-    "token_stats": (q_token_stats, TOKEN_STATS_SQL),
-    "quality_score": (q_quality_score, QUALITY_SQL),
-    "langid": (q_langid, LANGID_SQL),
-    "rep_ngrams": (q_rep_ngrams, REP_NGRAMS_SQL),
-    "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),
-    "fingerprint": (q_fingerprint, FINGERPRINT_SQL),
-    "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
-    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
-    "ann_ivf": (q_ann_ivf, ANN_IVF_SQL),
-    "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, ANN_IVF_MULTIPROBE_SQL),
-    "dedup_embedding": (q_dedup_embedding, DEDUP_EMBEDDING_SQL),
-    "boilerplate_strip": (q_boilerplate_strip, BOILERPLATE_SQL),
-    "boilerplate_cetd": (q_boilerplate_cetd, None),
-    "ocr_route": (q_ocr_route, OCR_ROUTE_SQL),
-    "ocr_route_report": (q_ocr_route_report, OCR_ROUTE_REPORT_SQL),
-    "position_rank": (q_position_rank, POSITION_RANK_SQL),
-    "dual_arbitrate": (q_dual_arbitrate, DUAL_ARBITRATE_SQL),
-    "mix_interleave": (q_mix_interleave, None),
-    "mix_simple": (q_mix_simple, MIX_SIMPLE_SQL),
-    "flagship_extract": (q_flagship_extract, None),
-    "flagship_simple": (q_flagship_simple, FLAGSHIP_SIMPLE_SQL),
-    "flagship_depth1": (q_flagship_depth1, FLAGSHIP_DEPTH1_SQL),
+    # Entry order is driver-visible: the per-round CORRECTNESS snapshot
+    # covers the FIRST 50 entries in insertion order.  Round 4 rotates the
+    # 85 queries never yet in a driver window to the front (local oracle
+    # gate scripts/check_contract.py covers all entries every round
+    # regardless); round 5 should rotate the remaining tail forward.
     "flagship_threecol": (q_flagship_threecol, FLAGSHIP_THREECOL_SQL),
     "flagship_decay": (q_flagship_decay, FLAGSHIP_DECAY_SQL),
     "dual_extract": (q_dual_extract, None),
@@ -10667,6 +10729,56 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "classifier_pr_eval": (q_classifier_pr_eval, CLASSIFIER_PR_EVAL_SQL),
     "kind_pivot": (q_kind_pivot, KIND_PIVOT_SQL),
     "ngram_containment": (q_ngram_containment, NGRAM_CONTAINMENT_SQL),
+    "pricing_summary": (q_pricing_summary, PRICING_SQL),
+    "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
+    "topk_orders": (q_topk_orders, TOPK_SQL),
+    "page_assembly": (q_page_assembly, PAGE_ASSEMBLY_SQL),
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),
+    "grid_rank": (q_grid_rank, GRID_RANK_SQL),
+    "overlap_pairs": (q_overlap_pairs, OVERLAP_PAIRS_SQL),
+    "containment_pairs": (q_containment_pairs, CONTAINMENT_SQL),
+    "ship_window_pairs": (q_ship_window_pairs, SHIP_WINDOW_SQL),
+    "classify_counts": (q_classify_counts, CLASSIFY_COUNTS_SQL),
+    "confidence_filter": (q_confidence_filter, CONFIDENCE_SQL),
+    "media_manifest": (q_media_manifest, MEDIA_MANIFEST_SQL),
+    "union_dedup": (q_union_dedup, UNION_DEDUP_SQL),
+    "levenshtein_arbitration": (q_levenshtein_arbitration, LEVENSHTEIN_SQL),
+    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "minhash_pairs": (q_minhash_pairs, MINHASH_SQL),
+    "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_clusters_star": (q_dedup_clusters_star, DEDUP_CLUSTERS_SQL),
+    "dedup_canonical": (q_dedup_canonical, DEDUP_CANONICAL_SQL),
+    "simhash_buckets": (q_simhash_buckets, SIMHASH_SQL),
+    "simhash_pairs": (q_simhash_pairs, SIMHASH_PAIRS_SQL),
+    "ann_pq": (q_ann_pq, ANN_PQ_SQL),
+    "corpus_rollup": (q_corpus_rollup, CORPUS_ROLLUP_SQL),
+    "rolling_activity": (q_rolling_activity, ROLLING_ACTIVITY_SQL),
+    "quality_deciles": (q_quality_deciles, QUALITY_DECILES_SQL),
+    "stitch_fragments": (q_stitch_fragments, STITCH_FRAGMENTS_SQL),
+    "audio_windows": (q_audio_windows, AUDIO_WINDOWS_SQL),
+    "cosine_topk": (q_cosine_topk, COSINE_SQL),
+    "token_stats": (q_token_stats, TOKEN_STATS_SQL),
+    "quality_score": (q_quality_score, QUALITY_SQL),
+    "langid": (q_langid, LANGID_SQL),
+    "rep_ngrams": (q_rep_ngrams, REP_NGRAMS_SQL),
+    "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),
+    "fingerprint": (q_fingerprint, FINGERPRINT_SQL),
+    "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "ann_ivf": (q_ann_ivf, ANN_IVF_SQL),
+    "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, ANN_IVF_MULTIPROBE_SQL),
+    "dedup_embedding": (q_dedup_embedding, DEDUP_EMBEDDING_SQL),
+    "boilerplate_strip": (q_boilerplate_strip, BOILERPLATE_SQL),
+    "boilerplate_cetd": (q_boilerplate_cetd, None),
+    "ocr_route": (q_ocr_route, OCR_ROUTE_SQL),
+    "ocr_route_report": (q_ocr_route_report, OCR_ROUTE_REPORT_SQL),
+    "position_rank": (q_position_rank, POSITION_RANK_SQL),
+    "dual_arbitrate": (q_dual_arbitrate, DUAL_ARBITRATE_SQL),
+    "mix_interleave": (q_mix_interleave, None),
+    "mix_simple": (q_mix_simple, MIX_SIMPLE_SQL),
+    "flagship_extract": (q_flagship_extract, None),
+    "flagship_simple": (q_flagship_simple, FLAGSHIP_SIMPLE_SQL),
+    "flagship_depth1": (q_flagship_depth1, FLAGSHIP_DEPTH1_SQL),
 }
 
 

@@ -440,7 +440,8 @@ _PLAN_SHUFFLES = {
     "watermark_lag_stats": 1,  # shard window; histogram agg reuses it
     "scan_prune_stats": 1,  # one partition-stats agg
     "media_dedup": 2,  # synth row_number window + content-hash agg
-    "skew_profile": 2,  # key agg + key-space-sized top-K window
+    "skew_profile": 2,  # key agg (TakeOrderedAndProject top-K, no
+    #                     global sort) + single-row total-count agg
     "event_transitions": 3,  # user window + pair agg + row-normalize
 }
 
