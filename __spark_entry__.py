@@ -56,10 +56,13 @@ def oracle_sql() -> dict[str, str]:
       tests/test_boilerplate.py Spark-vs-local equality; the same
       kernel is oracle-checked end-to-end on a depth-1 family (where
       the tree recursion provably closes over one level) as
-      ``cetd_simple``.
+      ``cetd_simple`` and on a depth-2 / 7-node family (one real
+      recursion step, two-level subtree folds) as ``cetd_depth2``.
     * ``mix_interleave`` — heap split/truncate interleave
       (mix_inference.py semantics); tests/test_mixkernel.py
-      Spark-vs-local equality.
+      Spark-vs-local equality; the conflict-free slice is
+      oracle-checked as ``mix_simple`` and the truncate branch
+      (including the sweep's last-pair quirk) as ``mix_trunc``.
     """
     from latyas_spark.relational.registry import oracle_sql as _oracle
 

@@ -722,6 +722,80 @@ FROM mixbanded
 """
 
 
+def synth_blocks_mix_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncate-branch mixed family (KERNEL_COLS shape): per 80px line
+    band, THREE boxes — T1 = text [0,100), T2 = text [120,380), L =
+    latex [250,450) (embedeq for even event_id, isolated equation for
+    odd).  On this geometry the split sweep (mix_inference.py:44-123)
+    provably takes EXACTLY the text-truncate branch, never split:
+
+      * T1.right(100) <= T2.x(120): no merge, T1 emitted untouched;
+      * T2 overlaps L partially (T2.right 380 < L.right 450) with
+        differing labels -> ``cand.w = cur.x - cand.x`` fires: T2 is
+        truncated to [120,250);
+      * containment (split) needs cand.right >= cur.right — impossible
+        here, so the split/re-enqueue branches never run.
+
+    The truncation is OBSERVABLE: T2's center-x is exactly 250, so the
+    re-recognition gather excludes it from the truncated fragment
+    (250 < 250 is false) and T2's content vanishes from the page —
+    EXCEPT in the last band, where the sweep's final unconditional
+    ``out.append(cand); out.append(cur)`` (the reference's last-pair
+    quirk, mix_inference.py:117-118) emits T2 untruncated and its
+    content survives.  Both outcomes are closed-form per band, so the
+    whole page markdown is SQL-expressible (registry.MIX_TRUNC_SQL)
+    while exercising a sweep branch mix_simple provably no-ops.
+    """
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        F.concat(
+            F.lit("mtrdoc-"),
+            F.lpad((F.col("user_id") % 200).cast("string"), 5, "0"),
+        ).alias("doc_id"),
+        (F.col("event_id") % 3).cast("int").alias("page"),
+        F.col("event_id"),
+        F.col("event_type"),
+    )
+    wp = Window.partitionBy("doc_id", "page").orderBy("event_id")
+    banded = base.withColumn(
+        "band", (F.row_number().over(wp) - 1).cast("int")
+    )
+    slots = banded.select(
+        "*",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("slot"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("event_id", "slot")
+    xs1 = F.array(F.lit(0.0), F.lit(120.0), F.lit(250.0))
+    xs2 = F.array(F.lit(100.0), F.lit(380.0), F.lit(450.0))
+    return slots.select(
+        "doc_id",
+        "page",
+        (F.row_number().over(wd) - 1).cast("int").alias("offset"),
+        F.element_at(xs1, F.col("slot") + 1).alias("x1"),
+        (F.col("band") * 80).cast("double").alias("y1"),
+        F.element_at(xs2, F.col("slot") + 1).alias("x2"),
+        (F.col("band") * 80 + 64).cast("double").alias("y2"),
+        F.lit(0.9).alias("conf"),
+        F.when(F.col("slot") < 2, F.lit("text"))
+        .when(F.col("event_id") % 2 == 0, F.lit("embedeq"))
+        .otherwise(F.lit("equation"))
+        .alias("label"),
+        F.when(
+            F.col("slot") == 0,
+            F.concat("event_type", F.lit(" "), F.col("event_id").cast("string")),
+        )
+        .when(
+            F.col("slot") == 1,
+            F.concat(F.lit("cont "), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("frm "), F.col("event_id").cast("string")))
+        .alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+
+
 def synth_table_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet -> detected table-structure objects (M11 input
     shape): per table, row/column/header boxes plus text tokens, as one

@@ -3499,6 +3499,142 @@ SELECT doc_id, CAST(2 AS INT) AS nid, ch2 AS chunk FROM keep WHERE keep2
 """
 
 
+def q_cetd_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CETD depth-2 family — one REAL recursion step beyond
+    cetd_simple: text truncated to 448 chars gives n <= 7 nodes, i.e.
+    the implicit binary DOM (parent(i) = (i-1)//2) is root 0, internal
+    branches 1-2, and leaves 3-6.  The kernel
+    (strip_boilerplate_pdf, unchanged) now exercises the bottom-up
+    subtree aggregation across TWO levels (leaf sums fold into the
+    branches, branch sums into the root) and the one-hop ancestor keep
+    propagation through an internal node — both of which close over a
+    fixed 7-node unrolling, so the whole decision procedure is
+    SQL-expressible (CETD_DEPTH2_SQL) and driver hash-checked; the
+    unbounded-depth corpus (q_boilerplate_cetd) stays rows-only under
+    its Spark-vs-local equality test."""
+    from ..core.boilerplate import strip_boilerplate_pdf
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.substring("text", 1, 448).alias("text"),
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "doc_id"
+        )
+    )
+    return docs.mapInPandas(
+        strip_boilerplate_pdf, schema="doc_id string, nid int, chunk string"
+    )
+
+
+def _cetd_depth2_sql() -> str:
+    """Unrolled 7-node CETD closed form (binary tree of depth 2).
+
+    Generated rather than hand-written: per-node chunk/hash/feature
+    columns, two-level subtree sums, composite densities, body pick
+    (largest top-level branch by subtree chars, tie -> node 1), and
+    parent-propagated keeps — exactly strip_boilerplate_doc's steps
+    specialized to n <= 7."""
+    ids = range(7)
+    chunks = ",\n    ".join(
+        f"substr(text, {i * 64 + 1}, 64) AS ch{i}" for i in ids
+    )
+    keeps = ",\n    ".join(
+        f"(CAST(('0x' || substr(md5(doc_id || ':{i}'), 1, 4)) AS INT)"
+        f" % 7 = 0) AS k{i}"
+        for i in ids
+    )
+    feats = ",\n    ".join(
+        f"CASE WHEN n > {i} THEN length(ch{i})*1.0 ELSE 0.0 END AS c{i},\n"
+        f"    CASE WHEN n > {i} AND k{i} THEN length(ch{i})*1.0"
+        f" ELSE 0.0 END AS l{i},\n"
+        f"    CASE WHEN n > {i} THEN 1.0 ELSE 0.0 END AS t{i}"
+        for i in ids
+    )
+    # two-level subtree closure: leaves 3-6 are their own subtrees,
+    # branch i in (1,2) folds children 2i+1, 2i+2, root folds branches
+    subs = []
+    for i in (3, 4, 5, 6):
+        subs.append(f"c{i} AS sc{i}, l{i} AS sl{i}, t{i} AS st{i}")
+    for i in (1, 2):
+        a, b = 2 * i + 1, 2 * i + 2
+        subs.append(
+            f"c{i} + c{a} + c{b} AS sc{i}, l{i} + l{a} + l{b} AS sl{i},"
+            f" t{i} + t{a} + t{b} AS st{i}"
+        )
+    subs.append(
+        "c0 + c1 + c2 + c3 + c4 + c5 + c6 AS sc0,"
+        " l0 + l1 + l2 + l3 + l4 + l5 + l6 AS sl0,"
+        " t0 + t1 + t2 + t3 + t4 + t5 + t6 AS st0"
+    )
+    subtree = ",\n    ".join(subs)
+    dens = ",\n    ".join(
+        f"CASE WHEN sc{i} <= 0 THEN 0.0\n"
+        f"         ELSE (sc{i}/greatest(st{i}, 1.0))"
+        f" * ln(sc{i}/(sl{i}+1.0) + {_CETD_E}) END AS d{i}"
+        for i in ids
+    )
+    # keep_i = dens_i >= thr OR keep(parent); parents resolve before
+    # children, so the propagation closes in one pass of definitions
+    keep_exprs = [
+        "(d0 >= thr) AS keep0",
+        "(n >= 2 AND (d1 >= thr OR d0 >= thr)) AS keep1",
+        "(n >= 3 AND (d2 >= thr OR d0 >= thr)) AS keep2",
+        "(n >= 4 AND (d3 >= thr OR (d1 >= thr OR d0 >= thr))) AS keep3",
+        "(n >= 5 AND (d4 >= thr OR (d1 >= thr OR d0 >= thr))) AS keep4",
+        "(n >= 6 AND (d5 >= thr OR (d2 >= thr OR d0 >= thr))) AS keep5",
+        "(n >= 7 AND (d6 >= thr OR (d2 >= thr OR d0 >= thr))) AS keep6",
+    ]
+    keep = ",\n    ".join(keep_exprs)
+    emit = "\nUNION ALL\n".join(
+        f"SELECT doc_id, CAST({i} AS INT) AS nid, ch{i} AS chunk"
+        f" FROM keep WHERE keep{i}"
+        for i in ids
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, substr(text, 1, 448) AS text
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), f AS (
+  SELECT doc_id,
+    CAST(ceil(length(text)/64.0) AS INT) AS n,
+    {chunks},
+    {keeps}
+  FROM base
+), c AS (
+  SELECT *,
+    {feats}
+  FROM f
+), s AS (
+  SELECT *,
+    {subtree}
+  FROM c
+), dens AS (
+  SELECT *,
+    {dens}
+  FROM s
+), thr AS (
+  -- body pick: larger-subtree-chars top-level branch, tie -> node 1;
+  -- 1-node docs fall back to the root density
+  SELECT *,
+    CASE WHEN n >= 3 THEN (CASE WHEN sc2 > sc1 THEN d2 ELSE d1 END)
+         WHEN n = 2 THEN d1
+         ELSE d0 END AS thr
+  FROM dens
+), keep AS (
+  SELECT *,
+    {keep}
+  FROM thr
+)
+{emit}
+"""
+
+
+CETD_DEPTH2_SQL = _cetd_depth2_sql()
+
+
 # Preset kind -> OCR-model routing tables (pipeline ctors; see
 # pipeline/presets.py for the cites).  OCR_RULES keeps its r1 name as
 # the paper table.
@@ -3680,6 +3816,59 @@ SELECT doc_id, page,
   trim(string_agg(content, ' ' ORDER BY y1), ' ' || chr(10)) AS markdown
 FROM wrapped
 GROUP BY doc_id, page
+"""
+
+
+def q_mix_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial SQL oracle for the mix sweep's TRUNCATE branch — the
+    branch q_mix_simple provably no-ops.  The REAL kernel
+    (compose_mixed_page, unchanged) runs over a family whose geometry
+    forces ``cand.w = cur.x - cand.x`` (text truncated at the latex
+    left edge, mix_inference.py:87-92) on every band except the last,
+    where the sweep's final unconditional append leaves the text
+    untruncated (the reference's last-pair quirk, :117-118).  Both
+    outcomes — truncated text loses its content via the center-x
+    gather, last-band text keeps it — are closed-form, so DuckDB
+    hash-checks the truncate semantics end to end (including the
+    quirk); the split/containment branch stays impossible on this
+    geometry (see adapter.synth_blocks_mix_trunc)."""
+    from ..pipeline.adapter import synth_blocks_mix_trunc
+
+    return _mix_markdown(synth_blocks_mix_trunc(spark, sf_dir), spark)
+
+
+MIX_TRUNC_SQL = """
+WITH mtbase AS (
+  SELECT 'mtrdoc-' || lpad(CAST(user_id % 200 AS VARCHAR), 5, '0') AS doc_id,
+    CAST(event_id % 3 AS INT) AS page, event_id, event_type
+  FROM events
+), mtbanded AS (
+  SELECT *,
+    CAST(row_number() OVER (PARTITION BY doc_id, page ORDER BY event_id)
+         - 1 AS INT) AS band
+  FROM mtbase
+), g AS (
+  SELECT doc_id, page, band,
+    event_type || ' ' || CAST(event_id AS VARCHAR) AS t1,
+    'cont ' || CAST(event_id AS VARCHAR) AS t2,
+    'frm ' || CAST(event_id AS VARCHAR) AS ft,
+    (event_id % 2 = 0) AS is_embed,
+    max(band) OVER (PARTITION BY doc_id, page) AS maxband
+  FROM mtbanded
+), seg AS (
+  -- same-row boxes concatenate with NO separator (assemble_markdown
+  -- only inserts ' ' on a row change); the truncated middle text
+  -- contributes nothing except in the last band (last-pair quirk)
+  SELECT doc_id, page, band,
+    t1 || CASE WHEN band = maxband THEN t2 ELSE '' END ||
+    CASE WHEN is_embed THEN ' $' || ft || '$ '
+         ELSE chr(10) || chr(10) || '$$' || ft || '$$'
+              || chr(10) || chr(10) END AS segment
+  FROM g
+)
+SELECT doc_id, page,
+  trim(string_agg(segment, ' ' ORDER BY band), ' ' || chr(10)) AS markdown
+FROM seg GROUP BY doc_id, page
 """
 
 
@@ -5128,12 +5317,14 @@ q_ann_pq.__doc__ = q_ann_pq.__doc__.format(
 )
 
 
-def _pq_chain_sql(m: int) -> str:
+def _pq_chain_sql(m: int, src: str = "e", prefix: str = "s") -> str:
     """The per-subspace Lloyd CTE chain (sub-vector slice, 2 rounds,
-    final assignment) with s{m}_-prefixed CTE names."""
-    off, p = m * _PQ_SUBDIM, f"s{m}_"
+    final assignment) with {prefix}{m}_-prefixed CTE names over the
+    (vec_id, iv) source CTE ``src`` — shared by ANN_PQ_SQL (raw
+    vectors) and ANN_IVFPQ_SQL (coarse residuals)."""
+    off, p = m * _PQ_SUBDIM, f"{prefix}{m}_"
     return f"""{p}e AS (
-  SELECT vec_id, iv[{off + 1}:{off + _PQ_SUBDIM}] AS iv FROM e
+  SELECT vec_id, iv[{off + 1}:{off + _PQ_SUBDIM}] AS iv FROM {src}
 ), {p}c0 AS (
   SELECT vec_id AS cid, iv AS civ FROM {p}e WHERE vec_id < {_KM_K}
 ), {_km_assign_sql(p + "e", p + "c0", p + "a1")},
@@ -5172,6 +5363,270 @@ CROSS JOIN q
 WHERE e.vec_id <> 0
 ORDER BY adc_dist ASC, e.vec_id ASC LIMIT 10
 """
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the full billion-scale index composition (Jégou, Douze
+    & Schmid, TPAMI 2011 §IV, "IVFADC"): a learned COARSE quantizer
+    (the ann_kmeans Lloyd chain, K={K}) partitions the corpus into
+    cells; every vector is PQ-encoded on its RESIDUAL (vector minus
+    its coarse centroid — residual energy is much lower than raw, so
+    the same code budget quantizes finer); search probes only the
+    query's coarse cell and ranks its members by ADC over the residual
+    LUTs.  This composes the repo's two existing rungs (ann_kmeans =
+    IVF coarse stage, ann_pq = ADC stage) into the shape real
+    billion-vector deployments run.
+
+    Cross-engine determinism: residuals are exact int64 differences of
+    already-integer vectors, so the whole chain (coarse Lloyd,
+    residual Lloyd per subspace, LUTs, ADC sums) stays in the repo's
+    integer discipline; ties break on cluster id / vec_id.
+
+    100 TB shape: coarse train + assign is the documented
+    broadcast-assign / combinable-update shape (corpus never
+    shuffles); residuals are a map against the BROADCAST K-row
+    centroid table; each of the {M} residual sub-quantizers trains on
+    32-dim slices the same way; the probe touches ~1/K of the corpus
+    and carries only {M} codes per vector + one broadcast LUT — the
+    memory-and-IO profile that makes IVF-PQ the standard at 10^9+
+    vectors (nprobe>1 and 8-bit codebooks are constant changes, not
+    plan changes)."""
+    e = _km_vectors(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
+    )
+    for _ in range(2):
+        cents = _km_update(_km_assign(e, cents))
+    cents = cents.localCheckpoint(eager=False)
+    final = _km_assign(e, cents).localCheckpoint(eager=False)
+    # residual = vector - its coarse centroid (exact int64); feeds the
+    # M sub-quantizer chains AND the query row -> checkpoint once
+    resid = (
+        final.join(F.broadcast(cents), "cid")
+        .select(
+            "vec_id",
+            F.expr("zip_with(iv, civ, (x, y) -> x - y)").alias("iv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    parts = []
+    for m in range(_PQ_M):
+        codes, cents_m = _pq_codebooks(resid, m * _PQ_SUBDIM)
+        qsub = resid.filter(F.col("vec_id") == 0).select(
+            F.expr(
+                f"slice(iv, {m * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})"
+            ).alias("qv")
+        )
+        lut = cents_m.crossJoin(F.broadcast(qsub)).select(
+            "cid", F.expr(_int_l2_expr("civ", "qv")).alias("d")
+        )
+        parts.append(
+            codes.join(F.broadcast(lut), "cid").select(
+                "vec_id", F.col("d").alias(f"d{m}")
+            )
+        )
+    adc = parts[0].join(parts[1], "vec_id").select(
+        "vec_id",
+        (F.col("d0") + F.col("d1")).cast("bigint").alias("adc_dist"),
+    )
+    q = final.filter(F.col("vec_id") == 0).select(
+        F.col("cid").alias("qcid"), F.col("iv").alias("qiv")
+    )
+    probe = (
+        final.join(F.broadcast(q), final["cid"] == F.col("qcid"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "cid",
+            F.expr(_int_l2_expr("iv", "qiv")).alias("idist"),
+        )
+    )
+    return (
+        probe.join(adc, "vec_id")
+        .select("vec_id", "cid", "adc_dist", "idist")
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+q_ann_ivfpq.__doc__ = q_ann_ivfpq.__doc__.format(K=_KM_K, M=_PQ_M)
+
+
+ANN_IVFPQ_SQL = (
+    _KM_CTE
+    + f""",
+r AS (
+  SELECT a3.vec_id,
+    list_transform(list_zip(a3.iv, c2.civ), p -> p[1] - p[2]) AS iv
+  FROM a3 JOIN c2 USING (cid)
+), {_pq_chain_sql(0, src="r", prefix="r")},
+{_pq_chain_sql(1, src="r", prefix="r")},
+q AS (SELECT cid AS qcid, iv AS qiv FROM a3 WHERE vec_id = 0)
+SELECT a3.vec_id, a3.cid,
+  CAST(r0_adc.d + r1_adc.d AS BIGINT) AS adc_dist,
+  CAST(list_sum(list_transform(list_zip(a3.iv, q.qiv),
+       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS idist
+FROM a3
+JOIN r0_adc ON r0_adc.vec_id = a3.vec_id
+JOIN r1_adc ON r1_adc.vec_id = a3.vec_id
+CROSS JOIN q
+WHERE a3.cid = q.qcid AND a3.vec_id <> 0
+ORDER BY adc_dist ASC, a3.vec_id ASC LIMIT 10
+"""
+)
+
+
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF-PQ index (q_ann_ivfpq's coarse-cell probe
+    + residual-ADC ranking) against exact brute-force top-10, per
+    query — the ann_recall report for the compressed-code rung, so the
+    two index designs' quality is comparable row-for-row (same query
+    set, same schema, same exact ground truth).  IVF-PQ pays TWO
+    approximations (cell pruning + code quantization); this measures
+    their combined cost, which is what a deployment actually ships.
+
+    100 TB shape: ground truth is the one Q-x-corpus scan every index
+    evaluation pays; the ANN side touches only probed cells and joins
+    codes ({M} small ints per vector) against a BROADCAST Q x K LUT —
+    per-candidate cost is two lookups and an add, the real ADC
+    profile."""
+    e = _km_vectors(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
+    )
+    for _ in range(2):
+        cents = _km_update(_km_assign(e, cents))
+    cents = cents.localCheckpoint(eager=False)
+    final = _km_assign(e, cents).localCheckpoint(eager=False)
+    resid = (
+        final.join(F.broadcast(cents), "cid")
+        .select(
+            "vec_id",
+            F.expr("zip_with(iv, civ, (x, y) -> x - y)").alias("iv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    qs = final.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("qid"),
+        F.col("iv").alias("qiv"),
+        F.col("cid").alias("qcid"),
+    )
+    d = F.expr(_int_l2_expr("iv", "qiv"))
+    w = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact_top = (
+        final.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    cand = (
+        final.join(F.broadcast(qs), final["cid"] == qs["qcid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    for m in range(_PQ_M):
+        codes, cents_m = _pq_codebooks(resid, m * _PQ_SUBDIM)
+        qsub = resid.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("qid"),
+            F.expr(
+                f"slice(iv, {m * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})"
+            ).alias("qv"),
+        )
+        # Q x K LUT (64 rows): exact sub-distance query-residual ->
+        # sub-centroid, broadcast to the candidates
+        lut = cents_m.crossJoin(qsub).select(
+            "qid", "cid", F.expr(_int_l2_expr("civ", "qv")).alias(f"d{m}")
+        )
+        cand = cand.join(
+            codes.select("vec_id", F.col("cid").alias(f"c{m}")), "vec_id"
+        ).join(
+            F.broadcast(lut.withColumnRenamed("cid", f"c{m}")),
+            ["qid", f"c{m}"],
+        )
+    wa = Window.partitionBy("qid").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    ann_top = (
+        cand.withColumn(
+            "adc_dist", (F.col("d0") + F.col("d1")).cast("bigint")
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = exact_top.join(ann_top, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(F.coalesce("hits", F.lit(0)) / 10.0, 4).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
+q_ann_ivfpq_recall.__doc__ = q_ann_ivfpq_recall.__doc__.format(M=_PQ_M)
+
+
+ANN_IVFPQ_RECALL_SQL = (
+    _KM_CTE
+    + f""",
+r AS (
+  SELECT a3.vec_id,
+    list_transform(list_zip(a3.iv, c2.civ), p -> p[1] - p[2]) AS iv
+  FROM a3 JOIN c2 USING (cid)
+), {_pq_chain_sql(0, src="r", prefix="r")},
+{_pq_chain_sql(1, src="r", prefix="r")},
+qs AS (
+  SELECT vec_id AS qid, iv AS qiv, cid AS qcid FROM a3
+  WHERE vec_id < {_KM_K}
+), ex AS (
+  SELECT q.qid, a3.vec_id,
+    row_number() OVER (PARTITION BY q.qid
+      ORDER BY CAST(list_sum(list_transform(list_zip(a3.iv, q.qiv),
+        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) ASC,
+        a3.vec_id ASC) AS rn
+  FROM a3, qs q WHERE a3.vec_id <> q.qid
+), ext AS (SELECT qid, vec_id FROM ex WHERE rn <= 10),
+rq0 AS (SELECT vec_id AS qid, iv AS qv FROM r0_e WHERE vec_id < {_KM_K}),
+rq1 AS (SELECT vec_id AS qid, iv AS qv FROM r1_e WHERE vec_id < {_KM_K}),
+lutq0 AS (
+  SELECT q.qid, c.cid,
+    CAST(list_sum(list_transform(list_zip(c.civ, q.qv),
+         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d0
+  FROM r0_c2 c, rq0 q
+), lutq1 AS (
+  SELECT q.qid, c.cid,
+    CAST(list_sum(list_transform(list_zip(c.civ, q.qv),
+         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d1
+  FROM r1_c2 c, rq1 q
+), an AS (
+  SELECT q.qid, a3.vec_id,
+    row_number() OVER (PARTITION BY q.qid
+      ORDER BY (l0.d0 + l1.d1) ASC, a3.vec_id ASC) AS rn
+  FROM a3
+  JOIN qs q ON a3.cid = q.qcid AND a3.vec_id <> q.qid
+  JOIN r0_a3 k0 ON k0.vec_id = a3.vec_id
+  JOIN r1_a3 k1 ON k1.vec_id = a3.vec_id
+  JOIN lutq0 l0 ON l0.qid = q.qid AND l0.cid = k0.cid
+  JOIN lutq1 l1 ON l1.qid = q.qid AND l1.cid = k1.cid
+), ant AS (SELECT qid, vec_id FROM an WHERE rn <= 10),
+hits AS (
+  SELECT ext.qid, COUNT(*) AS hits FROM ext JOIN ant USING (qid, vec_id)
+  GROUP BY ext.qid
+)
+SELECT q.qid, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+  round(COALESCE(h.hits, 0) / 10.0, 4) AS recall_at_10
+FROM qs q LEFT JOIN hits h ON h.qid = q.qid
+"""
+)
 
 
 def q_outlier_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10779,6 +11234,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship_extract": (q_flagship_extract, None),
     "flagship_simple": (q_flagship_simple, FLAGSHIP_SIMPLE_SQL),
     "flagship_depth1": (q_flagship_depth1, FLAGSHIP_DEPTH1_SQL),
+    # Round-4 additions (after position 50 so they don't displace the
+    # rotation above; rotate into the driver window next round):
+    "mix_trunc": (q_mix_trunc, MIX_TRUNC_SQL),
+    "cetd_depth2": (q_cetd_depth2, CETD_DEPTH2_SQL),
+    "ann_ivfpq": (q_ann_ivfpq, ANN_IVFPQ_SQL),
+    "ann_ivfpq_recall": (q_ann_ivfpq_recall, ANN_IVFPQ_RECALL_SQL),
 }
 
 

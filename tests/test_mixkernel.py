@@ -243,3 +243,30 @@ def test_mix_interleave_spark_matches_local(spark, sf001_dir):
             want[key] = md
     assert got == want
     assert len(got) > 30  # the corpus genuinely exercises the path
+
+
+def test_compose_truncate_family_band_semantics():
+    """Independent pin of the mix_trunc family's closed form (the
+    registry oracle re-derives it in SQL; this recomputes it from the
+    kernel directly): on the T1=[0,100) T2=[120,380) L=[250,450)
+    geometry, every band except the LAST loses T2's content to the
+    truncate branch, and the last band keeps it via the sweep's
+    unconditional final append (mix_inference.py:117-118)."""
+    from latyas_spark.core.mixkernel import compose_mixed_page
+
+    bands = 3
+    texts, eqs = [], []
+    for b in range(bands):
+        y = float(b * 80)
+        texts.append((0.0, y, 100.0, y + 64, f"t1 {b}"))
+        texts.append((120.0, y, 380.0, y + 64, f"cont {b}"))
+        eqs.append((250.0, y, 450.0, y + 64, b % 2 == 0, f"frm {b}"))
+    md = compose_mixed_page(texts, eqs)
+    # bands 0..B-2: T1 + wrapped formula only; band B-1: T1+T2+formula
+    assert "cont 0" not in md
+    assert "cont 1" not in md
+    assert "cont 2" in md
+    expected = (
+        "t1 0\n\n$$frm 0$$\n\n t1 1 $frm 1$  t1 2cont 2\n\n$$frm 2$$"
+    )
+    assert md == expected

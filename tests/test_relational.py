@@ -111,6 +111,10 @@ SUBSET = [
     "classifier_pr_eval",
     "kind_pivot",
     "ngram_containment",
+    "mix_trunc",
+    "cetd_depth2",
+    "ann_ivfpq",
+    "ann_ivfpq_recall",
 ]
 
 
