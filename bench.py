@@ -473,7 +473,9 @@ def _write_report(result: dict) -> None:
                 f"table, which this doc_id-bucketed warehouse mirrors; "
                 f"ingest excluded as the pay-once write cost): "
                 f"(thr_16/thr_4)/4 = {whh['efficiency']}** "
-                f"({'clean window' if whh.get('valid') else 'CONTESTED window'}; "
+                f"(median of {whh.get('n_valid', '?')} valid of "
+                f"{len(whh.get('attempts', []))} attempts; "
+                f"{'clean window' if whh.get('valid') else 'CONTESTED window'}; "
                 f"local[4] {whh['wall_local4']}s / "
                 f"{whh['thr_local4']} docs/sec, "
                 f"local[16] {whh['wall_local16']}s / "
@@ -693,9 +695,21 @@ def main() -> None:
         # direct-parquet rounds above additionally pay an input shuffle
         # per run that the deployment never pays, and that shuffle is
         # what the single-host width droop amplifies.
+        # Up to 3 attempts, early-out at 2 valid, median-of-valid — the
+        # same anti-cherry-picking discipline as the direct rounds
+        # (validity is decided by host speed ALONE, never by the
+        # efficiency value).  Round 3 recorded a single contested-window
+        # 0.753 as the operative number precisely because this pair had
+        # no retry; the direct pair's multi-round median never had that
+        # failure mode.
         wh_4_16 = None
-        if time.perf_counter() - t_scaling <= SCALING_DEADLINE_SEC:
-            quiet["warehouse_4_16"] = _wait_for_quiet()
+        wh_attempts = []
+        for wa in range(3):
+            if wh_attempts and (
+                time.perf_counter() - t_scaling > SCALING_DEADLINE_SEC
+            ):
+                break
+            quiet[f"warehouse_4_16_a{wa}"] = _wait_for_quiet()
             w4 = _run_extraction(
                 "local[4]", corpus, BENCH_DOCS, n_timed=1,
                 monitor=True, feed="warehouse",
@@ -704,24 +718,35 @@ def main() -> None:
                 "local[16]", corpus, BENCH_DOCS, n_timed=1,
                 monitor=True, feed="warehouse",
             )
-            wh_4_16 = {
-                "thr_local4": w4["docs_per_sec"],
-                "thr_local16": w16["docs_per_sec"],
-                "wall_local4": w4["wall_sec"],
-                "wall_local16": w16["wall_sec"],
-                "inrun_min_local4": w4["inrun_rate"]["min"],
-                "inrun_avg_local4": w4["inrun_rate"]["avg"],
-                "inrun_min_local16": w16["inrun_rate"]["min"],
-                "inrun_avg_local16": w16["inrun_rate"]["avg"],
-                "valid": bool(
-                    quiet["warehouse_4_16"] >= QUIET_NOMINAL
-                    and _rate_ok(w4["inrun_rate"], width=4)
-                    and _rate_ok(w16["inrun_rate"], width=16)
-                ),
-                "efficiency": round(
-                    (w16["docs_per_sec"] / w4["docs_per_sec"]) / 4.0, 3
-                ),
-            }
+            wh_attempts.append(
+                {
+                    "attempt": wa,
+                    "thr_local4": w4["docs_per_sec"],
+                    "thr_local16": w16["docs_per_sec"],
+                    "wall_local4": w4["wall_sec"],
+                    "wall_local16": w16["wall_sec"],
+                    "inrun_min_local4": w4["inrun_rate"]["min"],
+                    "inrun_avg_local4": w4["inrun_rate"]["avg"],
+                    "inrun_min_local16": w16["inrun_rate"]["min"],
+                    "inrun_avg_local16": w16["inrun_rate"]["avg"],
+                    "valid": bool(
+                        quiet[f"warehouse_4_16_a{wa}"] >= QUIET_NOMINAL
+                        and _rate_ok(w4["inrun_rate"], width=4)
+                        and _rate_ok(w16["inrun_rate"], width=16)
+                    ),
+                    "efficiency": round(
+                        (w16["docs_per_sec"] / w4["docs_per_sec"]) / 4.0, 3
+                    ),
+                }
+            )
+            if sum(1 for x in wh_attempts if x["valid"]) >= 2:
+                break
+        if wh_attempts:
+            wh_valid = [x for x in wh_attempts if x["valid"]] or wh_attempts
+            wh_by_eff = sorted(wh_valid, key=lambda x: x["efficiency"])
+            wh_4_16 = dict(wh_by_eff[len(wh_by_eff) // 2])
+            wh_4_16["attempts"] = wh_attempts
+            wh_4_16["n_valid"] = sum(1 for x in wh_attempts if x["valid"])
         # Secondary pair 8->32 on the wide corpus so BOTH walls stay
         # >= ~45s (amortizing fixed costs; see BENCH_DOCS note above).
         # BOTH legs are monitored: at local[32] the sampler thread is

@@ -7667,20 +7667,22 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: doc-local projection -> ONE combinable groupBy on
     (lang, source) (key space = |langs| x |sources|, partial rows per
-    task); the normalizing window then runs over that KEY-SPACE-SIZED
-    frame (97 rows here, thousands in production — never the corpus),
-    so its single-partition Exchange is output-sized by construction."""
+    task); the normalizer is a single-row combinable sum over that
+    KEY-SPACE-SIZED frame, attached back by broadcast cross join — no
+    WindowExec anywhere (an empty-partition window here would funnel
+    the frame through one task and spam the executor log, for a number
+    a 1-row aggregate computes combinably)."""
     base = _quality_survivors(spark, sf_dir)
     agg = base.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_tokens"),
     )
     w_raw = F.floor(F.sqrt(F.col("total_tokens"))).cast("long")
-    sum_w = F.sum(w_raw).over(Window.partitionBy())
-    alloc = F.floor(w_raw * F.lit(float(MIXTURE_BUDGET)) / sum_w).cast(
-        "long"
-    )
-    return agg.select(
+    totals = agg.agg(F.sum(w_raw).alias("sum_w"))
+    alloc = F.floor(
+        w_raw * F.lit(float(MIXTURE_BUDGET)) / F.col("sum_w")
+    ).cast("long")
+    return agg.crossJoin(F.broadcast(totals)).select(
         "lang",
         "source",
         "n_docs",
@@ -9823,6 +9825,89 @@ FROM buckets, n
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty screen over word-3-grams: what fraction of
+    a document's distinct grams appear here FIRST (doc_id order) —
+    the memorization/near-copy signal behind dedup-before-train (Lee
+    et al. 2022; Carlini et al. 2023 measure memorization exactly on
+    low-novelty content).  A document whose grams all occurred in
+    earlier documents is a recombination/copy; a high-novelty document
+    genuinely extends the corpus.  Output: (doc_id, n_grams, n_novel,
+    novelty_ppm) for docs with >= 1 gram.
+
+    100 TB shape — deliberately JOIN-FREE on the gram axis: a naive
+    formulation joins every (doc, gram) pair back to a first-occurrence
+    table on the gram key, which skews on stopword-like grams (one
+    task receives a hot gram's millions of rows).  Instead n_novel
+    falls straight out of the first-occurrence AGGREGATE itself
+    (n_novel(d) = |{{grams whose min doc_id == d}}| — group the
+    gram->min frame by its VALUE), so the whole query is two map-side-
+    combinable aggs (distinct grams per doc; min doc per gram) plus
+    ONE doc-keyed join of two doc-space-sized frames.  The gram
+    explosion is shared shape with vocab_growth/ngram_coverage.
+
+    Cross-engine determinism: all integer (counts + floor ppm)."""
+    docs = _read(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.split(F.trim("text"), " +").alias("wd"),
+    ).filter(F.size("wd") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(wd) - 3),"
+                " i -> concat_ws(' ', wd[i], wd[i+1], wd[i+2]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    novel = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.floor(
+                F.coalesce("n_novel", F.lit(0)) * 1000000 / F.col("n_grams")
+            )
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )
+
+
+NGRAM_NOVELTY_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS wd
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(len(wd) - 2),
+      i -> wd[i + 1] || ' ' || wd[i + 2] || ' ' || wd[i + 3])) AS g
+  FROM d WHERE len(wd) >= 3
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id
+), novel AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel FROM (
+    SELECT g, MIN(doc_id) AS doc_id FROM g GROUP BY g
+  ) GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_grams,
+  CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+  CAST(floor(COALESCE(n.n_novel, 0) * 1000000 / p.n_grams) AS BIGINT)
+    AS novelty_ppm
+FROM per_doc p LEFT JOIN novel n ON n.doc_id = p.doc_id
+"""
+
+
 # -- snapshot diff (CDC-style change report between two corpus versions) ----
 
 
@@ -11240,6 +11325,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cetd_depth2": (q_cetd_depth2, CETD_DEPTH2_SQL),
     "ann_ivfpq": (q_ann_ivfpq, ANN_IVFPQ_SQL),
     "ann_ivfpq_recall": (q_ann_ivfpq_recall, ANN_IVFPQ_RECALL_SQL),
+    "ngram_novelty": (q_ngram_novelty, NGRAM_NOVELTY_SQL),
 }
 
 

@@ -35,10 +35,21 @@ TARGET_VALID = int(os.environ.get("SPARK_GRAFT_SECONDARY_VALID", "3"))
 # comparisons are confounded by window-to-window ceiling drift
 # (observed 0.736-0.83), which pairing cancels.
 FEED = os.environ.get("SPARK_GRAFT_SECONDARY_FEED", "direct")
+# Width pair, e.g. "8,32" (default) or "4,16" — the 4->16 warehouse
+# pair reruns through this exact audited path too
+# (SPARK_GRAFT_SECONDARY_WIDTHS=4,16 SPARK_GRAFT_SECONDARY_FEED=warehouse).
+WIDTHS = tuple(
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_SECONDARY_WIDTHS", "8,32").split(",")
+)
 
 
 def main() -> None:
-    corpus = bench._fixture_corpus(bench.BENCH_DOCS_WIDE)
+    w_n, w_w = WIDTHS
+    # the wide corpus keeps full-width walls >= ~45s; the narrow pair
+    # uses the same corpus size the headline 4->16 rounds use
+    n_docs = bench.BENCH_DOCS_WIDE if w_w >= 32 else bench.BENCH_DOCS
+    corpus = bench._fixture_corpus(n_docs)
     attempts = []
     for a in range(MAX_ATTEMPTS):
         gate = bench._wait_for_quiet()
@@ -47,17 +58,17 @@ def main() -> None:
         for feed in feeds:
             legs[feed] = {
                 w: bench._run_extraction(
-                    f"local[{w}]", corpus, bench.BENCH_DOCS_WIDE,
+                    f"local[{w}]", corpus, n_docs,
                     n_timed=1, monitor=True, feed=feed,
                 )
-                for w in (8, 32)
+                for w in (w_n, w_w)
             }
         valid = gate >= bench.QUIET_NOMINAL and all(
             bench._rate_ok(legs[f][w]["inrun_rate"], width=w)
             for f in feeds
-            for w in (8, 32)
+            for w in (w_n, w_w)
         )
-        r8, r32 = legs[feeds[-1]][8], legs[feeds[-1]][32]
+        r8, r32 = legs[feeds[-1]][w_n], legs[feeds[-1]][w_w]
         rec = {
             "attempt": a,
             "quiet_gate": gate,
@@ -65,31 +76,31 @@ def main() -> None:
             "efficiency": round(
                 (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0, 3
             ),
-            "thr_local8": r8["docs_per_sec"],
-            "thr_local32": r32["docs_per_sec"],
-            "wall_local8": r8["wall_sec"],
-            "wall_local32": r32["wall_sec"],
-            "inrun_local8": r8["inrun_rate"],
-            "inrun_local32": r32["inrun_rate"],
+            f"thr_local{w_n}": r8["docs_per_sec"],
+            f"thr_local{w_w}": r32["docs_per_sec"],
+            f"wall_local{w_n}": r8["wall_sec"],
+            f"wall_local{w_w}": r32["wall_sec"],
+            f"inrun_local{w_n}": r8["inrun_rate"],
+            f"inrun_local{w_w}": r32["inrun_rate"],
         }
         if FEED == "paired":
-            d8, d32 = legs["direct"][8], legs["direct"][32]
+            d8, d32 = legs["direct"][w_n], legs["direct"][w_w]
             rec["direct"] = {
                 "efficiency": round(
                     (d32["docs_per_sec"] / d8["docs_per_sec"]) / 4.0, 3
                 ),
-                "thr_local8": d8["docs_per_sec"],
-                "thr_local32": d32["docs_per_sec"],
-                "wall_local8": d8["wall_sec"],
-                "wall_local32": d32["wall_sec"],
-                "inrun_local8": d8["inrun_rate"],
-                "inrun_local32": d32["inrun_rate"],
+                f"thr_local{w_n}": d8["docs_per_sec"],
+                f"thr_local{w_w}": d32["docs_per_sec"],
+                f"wall_local{w_n}": d8["wall_sec"],
+                f"wall_local{w_w}": d32["wall_sec"],
+                f"inrun_local{w_n}": d8["inrun_rate"],
+                f"inrun_local{w_w}": d32["inrun_rate"],
             }
             # same-window feed dominance: warehouse/direct throughput
-            rec["wh_speedup_8"] = round(
+            rec[f"wh_speedup_{w_n}"] = round(
                 r8["docs_per_sec"] / d8["docs_per_sec"], 3
             )
-            rec["wh_speedup_32"] = round(
+            rec[f"wh_speedup_{w_w}"] = round(
                 r32["docs_per_sec"] / d32["docs_per_sec"], 3
             )
         attempts.append(rec)
@@ -99,14 +110,14 @@ def main() -> None:
     by_eff = sorted(valid_attempts, key=lambda x: x["efficiency"])
     chosen = by_eff[len(by_eff) // 2]
     result = {
-        "metric": "secondary_8_32_efficiency",
+        "metric": f"secondary_{w_n}_{w_w}_efficiency",
         "feed": FEED,
         "value": chosen["efficiency"],
         "unit": "ratio",
         "valid": chosen["valid"],
         "n_valid": sum(1 for x in attempts if x["valid"]),
         "median_of_valid": chosen["efficiency"],
-        "wide_corpus_docs": bench.BENCH_DOCS_WIDE,
+        "corpus_docs": n_docs,
         "attempts": attempts,
         "cpu_ceiling": bench._cpu_ceiling(),
     }

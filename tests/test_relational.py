@@ -115,6 +115,7 @@ SUBSET = [
     "cetd_depth2",
     "ann_ivfpq",
     "ann_ivfpq_recall",
+    "ngram_novelty",
 ]
 
 
