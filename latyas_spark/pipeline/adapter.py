@@ -766,13 +766,16 @@ def synth_blocks_mix_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("slot"),
     )
-    wd = Window.partitionBy("doc_id").orderBy("event_id", "slot")
     xs1 = F.array(F.lit(0.0), F.lit(120.0), F.lit(250.0))
     xs2 = F.array(F.lit(100.0), F.lit(380.0), F.lit(450.0))
     return slots.select(
         "doc_id",
         "page",
-        (F.row_number().over(wd) - 1).cast("int").alias("offset"),
+        # offset only orders rows WITHIN a (doc_id, page) group (the
+        # kernel's partition-chunk sort key), so band*3+slot is
+        # sufficient and saves the doc-wide row_number window the
+        # other synth families pay
+        (F.col("band") * 3 + F.col("slot")).cast("int").alias("offset"),
         F.element_at(xs1, F.col("slot") + 1).alias("x1"),
         (F.col("band") * 80).cast("double").alias("y1"),
         F.element_at(xs2, F.col("slot") + 1).alias("x2"),
