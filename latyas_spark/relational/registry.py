@@ -7673,10 +7673,13 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frame through one task and spam the executor log, for a number
     a 1-row aggregate computes combinably)."""
     base = _quality_survivors(spark, sf_dir)
+    # checkpoint the key-space-sized agg: it feeds both the output rows
+    # and the 1-row normalizer — without it each consumer re-runs the
+    # corpus scan + aggregation
     agg = base.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     w_raw = F.floor(F.sqrt(F.col("total_tokens"))).cast("long")
     totals = agg.agg(F.sum(w_raw).alias("sum_w"))
     alloc = F.floor(
@@ -10085,14 +10088,15 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") % 256).cast("long").alias("zx"),
         (F.col("l_suppkey") % 256).cast("long").alias("zy"),
     )
-    morton = (
-        "aggregate(transform(sequence(0, {b}), i ->"
-        " ((zx div shiftleft(cast(1 as bigint), i)) % 2)"
-        "   * shiftleft(cast(1 as bigint), 2 * i)"
-        " + ((zy div shiftleft(cast(1 as bigint), i)) % 2)"
-        "   * shiftleft(cast(1 as bigint), 2 * i + 1)),"
-        " cast(0 as bigint), (a, x) -> a + x)"
-    ).format(b=_ZORDER_BITS - 1)
+    # flat unrolled bit-interleave (whole-stage-codegen arithmetic, no
+    # per-row array allocation — the higher-order-function spelling of
+    # the same sum cost ~2x on the hot per-row path)
+    morton = " + ".join(
+        f"((zx div {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((zy div {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(_ZORDER_BITS)
+    )
+    morton = f"cast({morton} as bigint)"
     return (
         d.withColumn("morton", F.expr(morton))
         .withColumn(

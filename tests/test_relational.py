@@ -222,13 +222,18 @@ def test_mixture_weights_invariants(spark, sf001_dir):
     """The mixture is a probability allocation: weights sum to ~1
     (floor rounding loses < |groups| ppm), every quality-surviving
     (lang, source) group gets a row, and the corpus never reaches the
-    normalizing window — the plan's window input is the key-space-
-    sized agg, so exactly TWO Exchanges (partial-agg + the output-
-    sized SinglePartition)."""
+    normalizer — the key-space-sized agg is checkpointed (one corpus
+    scan feeds both consumers), the normalizing sum is a 1-row
+    aggregate of it broadcast back: the visible plan has exactly ONE
+    shuffle Exchange (the 1-row SinglePartition total; the corpus
+    partial-agg exchange lives inside the checkpoint lineage), ONE
+    BroadcastExchange, and no WindowExec anywhere."""
     df = R.q_mixture_weights(spark, sf001_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 2
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert plan.count("BroadcastExchange") == 1
     assert "SinglePartition" in plan
+    assert "Window" not in plan
     pdf = df.toPandas()
     assert 1.0 - len(pdf) * 1e-6 <= pdf.weight.sum() <= 1.0
     assert (pdf.alloc_tokens >= 0).all()
