@@ -5476,6 +5476,153 @@ ORDER BY adc_dist ASC, a3.vec_id ASC LIMIT 10
 )
 
 
+def q_ann_ivfpq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with nprobe=2 (Jégou 2011 §IV-C's probe dial): the query
+    visits its TWO nearest coarse cells instead of one.  Because codes
+    quantize each vector's residual w.r.t. ITS OWN cell centroid, the
+    query needs a SEPARATE residual (and so a separate per-subspace
+    LUT) per probed cell — lookup key (candidate's cell, candidate's
+    code).  This is the exact bookkeeping real IVFADC implementations
+    carry, and the missing-neighbor failure mode it fixes is the one
+    ann_ivf_multiprobe measures for sign-LSH cells: true neighbors
+    that fall just across a cell boundary.
+
+    100 TB shape: identical to ann_ivfpq except the probe set is
+    nprobe cells (~nprobe/K of the corpus) and the broadcast LUT gains
+    an nprobe-sized dimension — still {M} adds per candidate.  All
+    integer; ties break on vec_id."""
+    e = _km_vectors(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
+    )
+    for _ in range(2):
+        cents = _km_update(_km_assign(e, cents))
+    cents = cents.localCheckpoint(eager=False)
+    final = _km_assign(e, cents).localCheckpoint(eager=False)
+    resid = (
+        final.join(F.broadcast(cents), "cid")
+        .select(
+            "vec_id",
+            F.expr("zip_with(iv, civ, (x, y) -> x - y)").alias("iv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    q = final.filter(F.col("vec_id") == 0).select(
+        F.col("iv").alias("qiv")
+    )
+    # two nearest coarse cells + the query's residual w.r.t. EACH
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            F.col("cid").alias("pcid"),
+            F.expr(_int_l2_expr("civ", "qiv")).alias("cd"),
+            F.expr("zip_with(qiv, civ, (x, y) -> x - y)").alias("qrv"),
+        )
+        .orderBy(F.asc("cd"), F.asc("pcid"))
+        .limit(2)
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        final.join(
+            F.broadcast(probes.select("pcid")),
+            final["cid"] == F.col("pcid"),
+        )
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "cid")
+    )
+    for m in range(_PQ_M):
+        codes, cents_m = _pq_codebooks(resid, m * _PQ_SUBDIM)
+        qsub = probes.select(
+            "pcid",
+            F.expr(
+                f"slice(qrv, {m * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})"
+            ).alias("qv"),
+        )
+        lut = cents_m.crossJoin(qsub).select(
+            "pcid",
+            F.col("cid").alias(f"c{m}"),
+            F.expr(_int_l2_expr("civ", "qv")).alias(f"d{m}"),
+        )
+        withcode = cand.join(
+            codes.select("vec_id", F.col("cid").alias(f"c{m}")), "vec_id"
+        )
+        cand = (
+            withcode.join(
+                F.broadcast(lut),
+                (withcode[f"c{m}"] == lut[f"c{m}"])
+                & (withcode["cid"] == lut["pcid"]),
+            )
+            .drop(lut[f"c{m}"])
+            .drop(lut["pcid"])
+        )
+    qx = final.filter(F.col("vec_id") == 0).select(F.col("iv").alias("qiv"))
+    exact = final.crossJoin(F.broadcast(qx)).select(
+        "vec_id", F.expr(_int_l2_expr("iv", "qiv")).alias("idist")
+    )
+    return (
+        cand.withColumn(
+            "adc_dist", (F.col("d0") + F.col("d1")).cast("bigint")
+        )
+        .join(exact, "vec_id")
+        .select("vec_id", "cid", "adc_dist", "idist")
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+q_ann_ivfpq_multiprobe.__doc__ = q_ann_ivfpq_multiprobe.__doc__.format(
+    M=_PQ_M
+)
+
+
+ANN_IVFPQ_MULTIPROBE_SQL = (
+    _KM_CTE
+    + f""",
+r AS (
+  SELECT a3.vec_id,
+    list_transform(list_zip(a3.iv, c2.civ), p -> p[1] - p[2]) AS iv
+  FROM a3 JOIN c2 USING (cid)
+), {_pq_chain_sql(0, src="r", prefix="r")},
+{_pq_chain_sql(1, src="r", prefix="r")},
+q AS (SELECT iv AS qiv FROM a3 WHERE vec_id = 0),
+cellrank AS (
+  SELECT c2.cid AS pcid,
+    list_transform(list_zip(q.qiv, c2.civ), p -> p[1] - p[2]) AS qrv,
+    row_number() OVER (ORDER BY
+      CAST(list_sum(list_transform(list_zip(c2.civ, q.qiv),
+        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) ASC,
+      c2.cid ASC) AS rnk
+  FROM c2, q
+), probes AS (SELECT pcid, qrv FROM cellrank WHERE rnk <= 2),
+plut0 AS (
+  SELECT p.pcid, c.cid,
+    CAST(list_sum(list_transform(list_zip(c.civ, p.qrv[1:{_PQ_SUBDIM}]),
+         x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d0
+  FROM r0_c2 c, probes p
+), plut1 AS (
+  SELECT p.pcid, c.cid,
+    CAST(list_sum(list_transform(
+         list_zip(c.civ, p.qrv[{_PQ_SUBDIM + 1}:{2 * _PQ_SUBDIM}]),
+         x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d1
+  FROM r1_c2 c, probes p
+)
+SELECT a3.vec_id, a3.cid,
+  CAST(l0.d0 + l1.d1 AS BIGINT) AS adc_dist,
+  CAST(list_sum(list_transform(list_zip(a3.iv, q.qiv),
+       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS idist
+FROM a3
+JOIN probes pr ON a3.cid = pr.pcid
+JOIN r0_a3 k0 ON k0.vec_id = a3.vec_id
+JOIN r1_a3 k1 ON k1.vec_id = a3.vec_id
+JOIN plut0 l0 ON l0.pcid = a3.cid AND l0.cid = k0.cid
+JOIN plut1 l1 ON l1.pcid = a3.cid AND l1.cid = k1.cid
+CROSS JOIN q
+WHERE a3.vec_id <> 0
+ORDER BY adc_dist ASC, a3.vec_id ASC LIMIT 10
+"""
+)
+
+
 def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF-PQ index (q_ann_ivfpq's coarse-cell probe
     + residual-ADC ranking) against exact brute-force top-10, per
@@ -11330,6 +11477,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_ivfpq": (q_ann_ivfpq, ANN_IVFPQ_SQL),
     "ann_ivfpq_recall": (q_ann_ivfpq_recall, ANN_IVFPQ_RECALL_SQL),
     "ngram_novelty": (q_ngram_novelty, NGRAM_NOVELTY_SQL),
+    "ann_ivfpq_multiprobe": (q_ann_ivfpq_multiprobe, ANN_IVFPQ_MULTIPROBE_SQL),
 }
 
 

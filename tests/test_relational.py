@@ -116,6 +116,7 @@ SUBSET = [
     "ann_ivfpq",
     "ann_ivfpq_recall",
     "ngram_novelty",
+    "ann_ivfpq_multiprobe",
 ]
 
 
