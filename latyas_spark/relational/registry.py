@@ -2413,6 +2413,89 @@ WHERE inter >= 2
 )
 
 
+def q_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level precision/recall of the MinHash-LSH candidate
+    generator against exact-Jaccard ground truth — the measurement a
+    production near-dup pipeline runs before trusting its band
+    configuration: every LSH candidate pair is verified by exact
+    Jaccard downstream, so precision is wasted-verification cost and
+    recall is missed-duplicate risk.  Ground truth = ngram_jaccard's
+    >= 0.4 pairs (its df<=64 cap mirrors the verifier a deployment
+    actually runs: ultra-common shingles are excluded from exact
+    verification too).  One report row: candidate count, true-pair
+    count, true positives, precision/recall in integer ppm.
+
+    Complements minhash_calibration (per-pair similarity-estimate
+    error) with the SET-level quality of the candidate generator.
+
+    100 TB shape: both sides are the already-bucketed/capped pair
+    pipelines (no new all-pairs anything); the eval adds one join of
+    two pair-frames on the normalized pair key + three 1-row
+    aggregates cross-joined."""
+    mh = q_minhash_pairs(spark, sf_dir).select(
+        F.least(
+            F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint")
+        ).alias("pa"),
+        F.greatest(
+            F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint")
+        ).alias("pb"),
+    )
+    gt = q_ngram_jaccard(spark, sf_dir).select(
+        F.least(
+            F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint")
+        ).alias("pa"),
+        F.greatest(
+            F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint")
+        ).alias("pb"),
+    )
+    nc = mh.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    nt = gt.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    tp = mh.join(gt, ["pa", "pb"]).agg(
+        F.count(F.lit(1)).cast("long").alias("tp")
+    )
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "n_cand",
+            "n_true",
+            "tp",
+            F.when(F.col("n_cand") == 0, F.lit(0))
+            .otherwise(F.floor(F.col("tp") * 1000000 / F.col("n_cand")))
+            .cast("long")
+            .alias("precision_ppm"),
+            F.when(F.col("n_true") == 0, F.lit(0))
+            .otherwise(F.floor(F.col("tp") * 1000000 / F.col("n_true")))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+MINHASH_PR_EVAL_SQL = f"""
+WITH mh AS (
+  SELECT least(CAST(doc_a AS BIGINT), CAST(doc_b AS BIGINT)) AS pa,
+         greatest(CAST(doc_a AS BIGINT), CAST(doc_b AS BIGINT)) AS pb
+  FROM ({MINHASH_SQL})
+), gt AS (
+  SELECT least(CAST(doc_a AS BIGINT), CAST(doc_b AS BIGINT)) AS pa,
+         greatest(CAST(doc_a AS BIGINT), CAST(doc_b AS BIGINT)) AS pb
+  FROM ({NGRAM_JACCARD_SQL})
+), tpc AS (SELECT COUNT(*) AS tp FROM mh JOIN gt USING (pa, pb)),
+nc AS (SELECT COUNT(*) AS n_cand FROM mh),
+nt AS (SELECT COUNT(*) AS n_true FROM gt)
+SELECT CAST(n_cand AS BIGINT) AS n_cand,
+  CAST(n_true AS BIGINT) AS n_true,
+  CAST(tp AS BIGINT) AS tp,
+  CAST(CASE WHEN n_cand = 0 THEN 0
+       ELSE floor(tp * 1000000 / n_cand) END AS BIGINT) AS precision_ppm,
+  CAST(CASE WHEN n_true = 0 THEN 0
+       ELSE floor(tp * 1000000 / n_true) END AS BIGINT) AS recall_ppm
+FROM nc, nt, tpc
+"""
+
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN (IVF/LSH scale path for cosine_topk): coarse cell =
     sign bits of the first 8 dims; probe only the query's cell, rank by
@@ -11478,6 +11561,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_ivfpq_recall": (q_ann_ivfpq_recall, ANN_IVFPQ_RECALL_SQL),
     "ngram_novelty": (q_ngram_novelty, NGRAM_NOVELTY_SQL),
     "ann_ivfpq_multiprobe": (q_ann_ivfpq_multiprobe, ANN_IVFPQ_MULTIPROBE_SQL),
+    "minhash_pr_eval": (q_minhash_pr_eval, MINHASH_PR_EVAL_SQL),
 }
 
 

@@ -137,3 +137,31 @@ def test_kmeans_plan_broadcasts_centroids(spark, sf001_dir):
     )
     assert "CartesianProduct" not in outer
     assert "Broadcast" in outer
+
+
+def test_ivfpq_multiprobe_dominates_single_probe(spark, sf001_dir):
+    """nprobe=2's candidate pool is a superset of nprobe=1's (it adds
+    the second-nearest cell), so its top-10 ADC distances must
+    rank-for-rank be <= the single-probe list's — the same dominance
+    property test_multiprobe_recall_dominates_single_probe pins for
+    the sign-LSH cells, here for the learned-cell IVF-PQ rung."""
+    one = (
+        R.q_ann_ivfpq(spark, sf001_dir)
+        .toPandas()
+        .sort_values("adc_dist")
+        .reset_index(drop=True)
+    )
+    two = (
+        R.q_ann_ivfpq_multiprobe(spark, sf001_dir)
+        .toPandas()
+        .sort_values("adc_dist")
+        .reset_index(drop=True)
+    )
+    assert len(one) == 10 and len(two) == 10
+    assert (two["adc_dist"].values <= one["adc_dist"].values).all()
+    # the single-probe cell's members all remain available to nprobe=2,
+    # so every single-probe hit either reappears or was displaced by a
+    # strictly better (smaller-ADC) candidate from the second cell
+    displaced = set(one["vec_id"]) - set(two["vec_id"])
+    if displaced:
+        assert two["adc_dist"].max() <= one["adc_dist"].max()

@@ -117,6 +117,7 @@ SUBSET = [
     "ann_ivfpq_recall",
     "ngram_novelty",
     "ann_ivfpq_multiprobe",
+    "minhash_pr_eval",
 ]
 
 
