@@ -481,7 +481,10 @@ def _write_report(result: dict) -> None:
                 f"local[16] {whh['wall_local16']}s / "
                 f"{whh['thr_local16']} docs/sec).  The direct-parquet "
                 "rounds above additionally pay a corpus-sized input "
-                "shuffle per run that the deployment never pays.",
+                "shuffle per run that the deployment never pays.  "
+                "Standalone paired re-measurements of this pair "
+                "(direct + warehouse legs inside every host window) "
+                "live in BENCH/SECONDARY.md.",
             ]
         wh = sc.get("warehouse_8_32")
         if wh:
