@@ -10186,6 +10186,128 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRIFT_TOPK = 20
+
+
+def q_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus snapshots at the UNIGRAM
+    level — the monitor a recrawl pipeline runs beside snapshot_diff's
+    doc-level report: which words' relative frequencies moved, and by
+    how much.  Uses snapshot_diff's exact snapshot derivation (old
+    drops doc_id % 11 == 3 and uppercases % 11 == 5 — which REALLY
+    shifts the word distribution; new drops % 13 == 7), add-one
+    smoothing over the union vocabulary, and reports the top {K}
+    movers by |rate ratio - 1| with their counts.
+
+    Integer discipline (the repo's float-sum ban): rates are scaled to
+    parts-per-billion by INTEGER division (`div`), the ratio to ppm
+    likewise — two well-defined floors, identical cross-engine, no
+    float accumulation anywhere.  At 10^12 tokens the intermediate
+    (c+1)*10^9 stays under int64 for any word below ~9e9 occurrences;
+    a production run over larger counts shifts to DECIMAL(38) or
+    rescales, same plan.
+
+    100 TB shape: two map-side-combinable word counts (the shuffle
+    carries per-task partials), ONE full-outer join on the word key
+    space, a 3-scalar broadcast (totals + union-vocab size), and the
+    top-K via TakeOrderedAndProject.  No corpus self-join, no global
+    sort."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    old_words = (
+        docs.filter(F.col("doc_id") % 11 != 3)
+        .select(
+            F.explode(
+                F.split(
+                    F.trim(
+                        F.when(
+                            F.col("doc_id") % 11 == 5, F.upper("text")
+                        ).otherwise(F.col("text"))
+                    ),
+                    " +",
+                )
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    new_words = (
+        docs.filter(F.col("doc_id") % 13 != 7)
+        .select(F.explode(F.split(F.trim("text"), " +")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    oc = old_words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("c_old")
+    )
+    nc = new_words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("c_new")
+    )
+    j = (
+        oc.join(nc, "word", "full_outer")
+        .select(
+            "word",
+            F.coalesce("c_old", F.lit(0)).cast("long").alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).cast("long").alias("c_new"),
+        )
+        .localCheckpoint(eager=False)  # feeds totals AND the rate pass
+    )
+    tot = j.agg(
+        F.sum("c_old").alias("n_old"),
+        F.sum("c_new").alias("n_new"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    rated = j.crossJoin(F.broadcast(tot)).select(
+        "word",
+        "c_old",
+        "c_new",
+        F.expr(
+            "cast((((c_new + 1) * 1000000000) div (n_new + v)) * 1000000"
+            " div (((c_old + 1) * 1000000000) div (n_old + v))"
+            " as bigint)"
+        ).alias("drift_ppm"),
+    )
+    return rated.orderBy(
+        F.desc(F.abs(F.col("drift_ppm") - 1000000)), F.asc("word")
+    ).limit(_DRIFT_TOPK)
+
+
+UNIGRAM_DRIFT_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+), ow AS (
+  SELECT unnest(string_split_regex(trim(
+    CASE WHEN doc_id % 11 = 5 THEN upper(text) ELSE text END), ' +'))
+    AS word
+  FROM docs WHERE doc_id % 11 <> 3
+), nw AS (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+  FROM docs WHERE doc_id % 13 <> 7
+), oc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS c_old FROM ow
+  WHERE word <> '' GROUP BY word
+), nc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS c_new FROM nw
+  WHERE word <> '' GROUP BY word
+), j AS (
+  SELECT COALESCE(oc.word, nc.word) AS word,
+    CAST(COALESCE(c_old, 0) AS BIGINT) AS c_old,
+    CAST(COALESCE(c_new, 0) AS BIGINT) AS c_new
+  FROM oc FULL OUTER JOIN nc ON oc.word = nc.word
+), tot AS (
+  SELECT SUM(c_old) AS n_old, SUM(c_new) AS n_new, COUNT(*) AS v FROM j
+)
+SELECT word, c_old, c_new,
+  CAST((((c_new + 1) * 1000000000) // (n_new + v)) * 1000000
+    // (((c_old + 1) * 1000000000) // (n_old + v)) AS BIGINT)
+    AS drift_ppm
+FROM j, tot
+ORDER BY abs(CAST((((c_new + 1) * 1000000000) // (n_new + v)) * 1000000
+    // (((c_old + 1) * 1000000000) // (n_old + v)) AS BIGINT) - 1000000)
+  DESC, word ASC
+LIMIT {_DRIFT_TOPK}
+"""
+
+q_unigram_drift.__doc__ = q_unigram_drift.__doc__.format(K=_DRIFT_TOPK)
+
+
 SNAPSHOT_DIFF_SQL = """
 WITH docs AS (
   SELECT doc_id, md5(text) AS fp, md5(upper(text)) AS fp_stale
@@ -11562,6 +11684,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ngram_novelty": (q_ngram_novelty, NGRAM_NOVELTY_SQL),
     "ann_ivfpq_multiprobe": (q_ann_ivfpq_multiprobe, ANN_IVFPQ_MULTIPROBE_SQL),
     "minhash_pr_eval": (q_minhash_pr_eval, MINHASH_PR_EVAL_SQL),
+    "unigram_drift": (q_unigram_drift, UNIGRAM_DRIFT_SQL),
 }
 
 

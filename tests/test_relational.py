@@ -118,6 +118,7 @@ SUBSET = [
     "ngram_novelty",
     "ann_ivfpq_multiprobe",
     "minhash_pr_eval",
+    "unigram_drift",
 ]
 
 
