@@ -708,6 +708,12 @@ def main() -> None:
         wh_4_16 = None
         wh_attempts = []
         for wa in range(3):
+            # INTENTIONAL: attempt 0 runs even past SCALING_DEADLINE_SEC
+            # — this pair is the deployment-plan gate metric and must
+            # exist in every BENCH artifact (round 3 shipped a single
+            # contested-window number because this pair had no retry;
+            # shipping NO number would be strictly worse).  Only the
+            # retries are deadline-bounded.
             if wh_attempts and (
                 time.perf_counter() - t_scaling > SCALING_DEADLINE_SEC
             ):

@@ -362,11 +362,16 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for step_ix, et, frame in steps:
         n = frame.agg(F.count(F.lit(1)).alias("n_users"))
         if prev_n is None:
+            # Empty-funnel guard: 0 users at step 1 must yield NULL
+            # (0/0), matching the oracle's lag-based division — a
+            # literal 1.0 would silently diverge on an empty stream.
             c = n.select(
                 F.lit(step_ix + 1).alias("step"),
                 F.lit(et).alias("event_type"),
                 "n_users",
-                F.round(F.lit(1.0), 6).alias("pct_of_prev"),
+                F.when(F.col("n_users") > 0, F.round(F.lit(1.0), 6)).alias(
+                    "pct_of_prev"
+                ),
             )
         else:
             c = n.crossJoin(F.broadcast(prev_n)).select(
@@ -404,9 +409,11 @@ WITH s1 AS (
   SELECT 3, 'purchase', COUNT(*) FROM s3
 )
 SELECT step, event_type, n_users,
-  round(CAST(n_users AS DOUBLE)
-    / COALESCE(lag(n_users) OVER (ORDER BY step), n_users), 6)
-    AS pct_of_prev
+  CASE WHEN COALESCE(lag(n_users) OVER (ORDER BY step), n_users) = 0
+    THEN NULL
+    ELSE round(CAST(n_users AS DOUBLE)
+      / COALESCE(lag(n_users) OVER (ORDER BY step), n_users), 6)
+  END AS pct_of_prev
 FROM counts
 """
 
@@ -10079,25 +10086,36 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE doc-keyed join of two doc-space-sized frames.  The gram
     explosion is shared shape with vocab_growth/ngram_coverage.
 
+    Within-doc gram dedup is ``array_distinct`` BEFORE the explode
+    (the T4 ngram_jaccard pattern): a post-explode ``.distinct()``
+    over (doc_id, g) only ever removes within-doc repeats anyway —
+    doc_id is part of the key — so the global DISTINCT exchange it
+    costs buys nothing.  The doc-level gram-array frame is then
+    lazily localCheckpointed because BOTH consumers (per-doc size,
+    gram->min-doc agg) read it: without the checkpoint each consumer
+    re-runs the corpus scan + tokenize.  ``n_grams`` becomes a pure
+    map over the checkpoint — no shuffle at all on that side.
+
     Cross-engine determinism: all integer (counts + floor ppm)."""
     docs = _read(spark, sf_dir, "documents")
-    grams = docs.select(
+    base = docs.select(
         "doc_id",
         F.split(F.trim("text"), " +").alias("wd"),
     ).filter(F.size("wd") >= 3).select(
         "doc_id",
-        F.explode(
+        F.array_distinct(
             F.expr(
                 "transform(sequence(0, size(wd) - 3),"
                 " i -> concat_ws(' ', wd[i], wd[i+1], wd[i+2]))"
             )
-        ).alias("g"),
-    ).distinct()
-    per_doc = grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
+        ).alias("gs"),
+    ).localCheckpoint(eager=False)
+    per_doc = base.select(
+        "doc_id", F.size("gs").cast("long").alias("n_grams")
     )
     novel = (
-        grams.groupBy("g")
+        base.select("doc_id", F.explode("gs").alias("g"))
+        .groupBy("g")
         .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
@@ -11536,10 +11554,58 @@ KIND_PIVOT_SQL = (
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Entry order is driver-visible: the per-round CORRECTNESS snapshot
-    # covers the FIRST 50 entries in insertion order.  Round 4 rotates the
-    # 85 queries never yet in a driver window to the front (local oracle
-    # gate scripts/check_contract.py covers all entries every round
-    # regardless); round 5 should rotate the remaining tail forward.
+    # covers the FIRST 50 entries in insertion order.  Round 5 rotates
+    # the final 43 never-driver-checked queries (r03 positions 51-85 +
+    # the 8 round-4 additions) to the front, completing the r03->r05
+    # rotation: after this window every registry query has appeared in
+    # at least one driver window.  Round-5 additions are inserted after
+    # the 43 (still inside the 50-window).  The local oracle gate
+    # (scripts/check_contract.py) covers ALL entries every round
+    # regardless of order.
+    "header_footer_strip": (q_header_footer_strip, HEADER_FOOTER_SQL),
+    "dehyphenate": (q_dehyphenate, DEHYPHENATE_SQL),
+    "asof_join": (q_asof_join, ASOF_JOIN_SQL),
+    "embed_quantize": (q_embed_quantize, EMBED_QUANTIZE_SQL),
+    "pagerank": (q_pagerank, PAGERANK_SQL),
+    "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
+    "dsir_weights": (q_dsir_weights, DSIR_WEIGHTS_SQL),
+    "reading_order_eval": (q_reading_order_eval, READING_ORDER_EVAL_SQL),
+    "bigram_lm_score": (q_bigram_lm_score, BIGRAM_LM_SQL),
+    "filter_cascade": (q_filter_cascade, FILTER_CASCADE_SQL),
+    "section_assign": (q_section_assign, SECTION_ASSIGN_SQL),
+    "bpe_merges": (q_bpe_merges, BPE_MERGES_SQL),
+    "label_propagation": (q_label_propagation, LABEL_PROPAGATION_SQL),
+    "embed_pca": (q_embed_pca, EMBED_PCA_SQL),
+    "event_attribution": (q_event_attribution, EVENT_ATTRIBUTION_SQL),
+    "ngram_coverage": (q_ngram_coverage, NGRAM_COVERAGE_SQL),
+    "vocab_growth": (q_vocab_growth, VOCAB_GROWTH_SQL),
+    "snapshot_diff": (q_snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "skew_profile": (q_skew_profile, SKEW_PROFILE_SQL),
+    "zorder_layout": (q_zorder_layout, ZORDER_LAYOUT_SQL),
+    "bpe_encode": (q_bpe_encode, BPE_ENCODE_SQL),
+    "media_dedup": (q_media_dedup, MEDIA_DEDUP_SQL),
+    "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
+    "join_size_estimate": (q_join_size_estimate, JOIN_SIZE_ESTIMATE_SQL),
+    "triangle_count": (q_triangle_count, TRIANGLE_COUNT_SQL),
+    "watermark_lag_stats": (q_watermark_lag_stats, WATERMARK_LAG_SQL),
+    "cluster_purity": (q_cluster_purity, CLUSTER_PURITY_SQL),
+    "scan_prune_stats": (q_scan_prune_stats, SCAN_PRUNE_SQL),
+    "column_stats": (q_column_stats, COLUMN_STATS_SQL),
+    "value_histogram": (q_value_histogram, VALUE_HISTOGRAM_SQL),
+    "k_anonymity": (q_k_anonymity, K_ANONYMITY_SQL),
+    "compaction_plan": (q_compaction_plan, COMPACTION_PLAN_SQL),
+    "classifier_pr_eval": (q_classifier_pr_eval, CLASSIFIER_PR_EVAL_SQL),
+    "kind_pivot": (q_kind_pivot, KIND_PIVOT_SQL),
+    "ngram_containment": (q_ngram_containment, NGRAM_CONTAINMENT_SQL),
+    "mix_trunc": (q_mix_trunc, MIX_TRUNC_SQL),
+    "cetd_depth2": (q_cetd_depth2, CETD_DEPTH2_SQL),
+    "ann_ivfpq": (q_ann_ivfpq, ANN_IVFPQ_SQL),
+    "ann_ivfpq_recall": (q_ann_ivfpq_recall, ANN_IVFPQ_RECALL_SQL),
+    "ngram_novelty": (q_ngram_novelty, NGRAM_NOVELTY_SQL),
+    "ann_ivfpq_multiprobe": (q_ann_ivfpq_multiprobe, ANN_IVFPQ_MULTIPROBE_SQL),
+    "minhash_pr_eval": (q_minhash_pr_eval, MINHASH_PR_EVAL_SQL),
+    "unigram_drift": (q_unigram_drift, UNIGRAM_DRIFT_SQL),
+    # --- end of never-driver-checked block (43); round-5 additions below ---
     "flagship_threecol": (q_flagship_threecol, FLAGSHIP_THREECOL_SQL),
     "flagship_decay": (q_flagship_decay, FLAGSHIP_DECAY_SQL),
     "dual_extract": (q_dual_extract, None),
@@ -11590,41 +11656,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bpe_pair_counts": (q_bpe_pair_counts, BPE_PAIR_COUNTS_SQL),
     "mixture_sample": (q_mixture_sample, MIXTURE_SAMPLE_SQL),
     "dedup_soft": (q_dedup_soft, DEDUP_SOFT_SQL),
-    "header_footer_strip": (q_header_footer_strip, HEADER_FOOTER_SQL),
-    "dehyphenate": (q_dehyphenate, DEHYPHENATE_SQL),
-    "asof_join": (q_asof_join, ASOF_JOIN_SQL),
-    "embed_quantize": (q_embed_quantize, EMBED_QUANTIZE_SQL),
-    "pagerank": (q_pagerank, PAGERANK_SQL),
-    "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
-    "dsir_weights": (q_dsir_weights, DSIR_WEIGHTS_SQL),
-    "reading_order_eval": (q_reading_order_eval, READING_ORDER_EVAL_SQL),
-    "bigram_lm_score": (q_bigram_lm_score, BIGRAM_LM_SQL),
-    "filter_cascade": (q_filter_cascade, FILTER_CASCADE_SQL),
-    "section_assign": (q_section_assign, SECTION_ASSIGN_SQL),
-    "bpe_merges": (q_bpe_merges, BPE_MERGES_SQL),
-    "label_propagation": (q_label_propagation, LABEL_PROPAGATION_SQL),
-    "embed_pca": (q_embed_pca, EMBED_PCA_SQL),
-    "event_attribution": (q_event_attribution, EVENT_ATTRIBUTION_SQL),
-    "ngram_coverage": (q_ngram_coverage, NGRAM_COVERAGE_SQL),
-    "vocab_growth": (q_vocab_growth, VOCAB_GROWTH_SQL),
-    "snapshot_diff": (q_snapshot_diff, SNAPSHOT_DIFF_SQL),
-    "skew_profile": (q_skew_profile, SKEW_PROFILE_SQL),
-    "zorder_layout": (q_zorder_layout, ZORDER_LAYOUT_SQL),
-    "bpe_encode": (q_bpe_encode, BPE_ENCODE_SQL),
-    "media_dedup": (q_media_dedup, MEDIA_DEDUP_SQL),
-    "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
-    "join_size_estimate": (q_join_size_estimate, JOIN_SIZE_ESTIMATE_SQL),
-    "triangle_count": (q_triangle_count, TRIANGLE_COUNT_SQL),
-    "watermark_lag_stats": (q_watermark_lag_stats, WATERMARK_LAG_SQL),
-    "cluster_purity": (q_cluster_purity, CLUSTER_PURITY_SQL),
-    "scan_prune_stats": (q_scan_prune_stats, SCAN_PRUNE_SQL),
-    "column_stats": (q_column_stats, COLUMN_STATS_SQL),
-    "value_histogram": (q_value_histogram, VALUE_HISTOGRAM_SQL),
-    "k_anonymity": (q_k_anonymity, K_ANONYMITY_SQL),
-    "compaction_plan": (q_compaction_plan, COMPACTION_PLAN_SQL),
-    "classifier_pr_eval": (q_classifier_pr_eval, CLASSIFIER_PR_EVAL_SQL),
-    "kind_pivot": (q_kind_pivot, KIND_PIVOT_SQL),
-    "ngram_containment": (q_ngram_containment, NGRAM_CONTAINMENT_SQL),
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
     "topk_orders": (q_topk_orders, TOPK_SQL),
@@ -11675,16 +11706,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship_extract": (q_flagship_extract, None),
     "flagship_simple": (q_flagship_simple, FLAGSHIP_SIMPLE_SQL),
     "flagship_depth1": (q_flagship_depth1, FLAGSHIP_DEPTH1_SQL),
-    # Round-4 additions (after position 50 so they don't displace the
-    # rotation above; rotate into the driver window next round):
-    "mix_trunc": (q_mix_trunc, MIX_TRUNC_SQL),
-    "cetd_depth2": (q_cetd_depth2, CETD_DEPTH2_SQL),
-    "ann_ivfpq": (q_ann_ivfpq, ANN_IVFPQ_SQL),
-    "ann_ivfpq_recall": (q_ann_ivfpq_recall, ANN_IVFPQ_RECALL_SQL),
-    "ngram_novelty": (q_ngram_novelty, NGRAM_NOVELTY_SQL),
-    "ann_ivfpq_multiprobe": (q_ann_ivfpq_multiprobe, ANN_IVFPQ_MULTIPROBE_SQL),
-    "minhash_pr_eval": (q_minhash_pr_eval, MINHASH_PR_EVAL_SQL),
-    "unigram_drift": (q_unigram_drift, UNIGRAM_DRIFT_SQL),
 }
 
 
