@@ -80,12 +80,12 @@ def synth_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def synth_blocks_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """synth_blocks + the dual-source (E2) columns: a deterministic OCR
-    corruption (offset%4: reversed, else a<->e swapped — both
-    arbitration branches fire) and the text-layer rect as the exact C7
-    image of the bbox (rs=2, H=550; matches q_dual_arbitrate)."""
-    b = synth_blocks(spark, sf_dir)
+def _with_dual_columns(b: DataFrame) -> DataFrame:
+    """Decorate a KERNEL_COLS frame with the dual-source (E2) columns:
+    a deterministic OCR corruption (offset%4: reversed, else a<->e
+    swapped — both arbitration branches fire) and the text-layer rect
+    as the exact C7 image of the bbox (rs=2, H=550; matches
+    q_dual_arbitrate).  Shared by every synth_blocks_dual_* family."""
     rs, H = 2.0, 550.0
     return b.select(
         "*",
@@ -98,6 +98,11 @@ def synth_blocks_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x2") / rs).alias("lx2"),
         (H - F.col("y1") / rs).alias("ly2"),
     )
+
+
+def synth_blocks_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """synth_blocks + the dual-source (E2) columns (_with_dual_columns)."""
+    return _with_dual_columns(synth_blocks(spark, sf_dir))
 
 
 # Labels for the cut-free corpus: ADAPTER_LABELS minus embedeq (no
@@ -563,19 +568,37 @@ def synth_blocks_dual_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gather stage provably returns the row's own text — so the WHOLE
     dual pipeline (pdf2txt.py:52-100) is SQL-expressible on this family
     (registry.DUAL_SIMPLE_SQL)."""
-    b = synth_blocks_simple(spark, sf_dir)
-    rs, H = 2.0, 550.0
-    return b.select(
-        "*",
-        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
-        .when(F.col("offset") % 4 == 0, F.reverse(F.col("text")))
-        .otherwise(F.translate(F.col("text"), "ae", "ea"))
-        .alias("ocr_text"),
-        (F.col("x1") / rs).alias("lx1"),
-        (H - F.col("y2") / rs).alias("ly1"),
-        (F.col("x2") / rs).alias("lx2"),
-        (H - F.col("y1") / rs).alias("ly2"),
-    )
+    return _with_dual_columns(synth_blocks_simple(spark, sf_dir))
+
+
+def synth_blocks_dual_depth1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column family + the dual-source (E2) columns: the
+    synth_blocks_depth1 geometry (exactly ONE provable depth-0 vertical
+    cut, then cut-free columns) with the _with_dual_columns OCR
+    corruption and C7 layer rects.
+
+    Degeneracy arguments, all SUBSET-STABLE (they survive the dual
+    DAG's conf>0.3 + arb-kind + CJK filters because each is an
+    all-pairs property of the full family):
+
+      * same-page blocks are y-disjoint (pitch 125, heights <= 99), so
+        the overlap merge is the identity and each detection's flipped
+        bbox intersects exactly its OWN layer rect — the gather
+        provably returns the row's own text (same as dual_simple);
+      * the column argument of synth_blocks_depth1 (left x in
+        [100,308), right in [400,608), >= 92px gap, within-column
+        all-pairs x-overlap) holds for EVERY subset of blocks, so the
+        xy-cut admits exactly one depth-0 cut when both columns are
+        inhabited and degenerates to the same (column, y1) order when
+        one is empty;
+      * arbitration and CJK filters are directly SQL-expressible
+        (DUAL_SIMPLE_SQL's picked/emitted stages).
+
+    So the driver hash-checks the dual pipeline's cut SELECTION +
+    recursive descent + arbitration + CJK filters in one query
+    (registry.DUAL_DEPTH1_SQL) — the slice q_dual_simple's cut-free
+    family could not pin."""
+    return _with_dual_columns(synth_blocks_depth1(spark, sf_dir))
 
 
 SYNTH_SIMPLE_SQL = """

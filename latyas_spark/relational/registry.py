@@ -4010,7 +4010,86 @@ def q_dual_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dual_depth1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL oracle for the DUAL DAG's xy-cut FIRST BRANCH (VERDICT r4
+    #5): the REAL dual kernel (conf filter -> classify -> overlap merge
+    -> C7 flip -> gather -> levenshtein arbitration -> CJK filters ->
+    xy-cut -> emit, pdf2txt.py:52-100) runs over the two-column dual
+    family (adapter.synth_blocks_dual_depth1) whose geometry admits
+    exactly ONE depth-0 vertical cut and whose degeneracy arguments
+    are subset-stable under the dual filters — so cut SELECTION + one
+    recursive descent + arbitration + CJK filters are hash-checked
+    cross-engine in one query.  q_dual_simple pinned only the cut-free
+    base case; the general dual corpus (q_dual_extract) stays
+    rows-only under its golden suite.  Reading order on this family is
+    provably (page, column, y1), left column first."""
+    from dataclasses import replace
+
+    from ..core.document import DEFAULT_CONFIG
+    from ..pipeline.adapter import synth_blocks_dual_depth1
+    from ..pipeline.extract import extract_spans_flat
+
+    cfg = replace(DEFAULT_CONFIG, page_height=550.0)
+    return extract_spans_flat(
+        synth_blocks_dual_depth1(spark, sf_dir), cfg, dual=True
+    )
+
+
 _ARB_SET_SQL = "('text','title','caption')"
+
+DUAL_DEPTH1_SQL = f"""
+WITH blocks AS (
+{SYNTH_DEPTH1_SQL}
+), k AS (
+  SELECT *, {CLASSIFY_SQL_CASE} AS kind FROM blocks
+), layer AS (
+  SELECT doc_id, page, "offset" AS l_offset, text AS l_text,
+    x1 / 2.0 AS lx1, 550.0 - y2 / 2.0 AS ly1,
+    x2 / 2.0 AS lx2, 550.0 - y1 / 2.0 AS ly2
+  FROM k WHERE text IS NOT NULL
+), dets AS (
+  SELECT doc_id, page, "offset", y1 AS dy1, kind,
+    CASE WHEN x1 < 350 THEN 0 ELSE 1 END AS col,
+    x1 / 2.0 AS qx1, 550.0 - y2 / 2.0 AS qy1,
+    x2 / 2.0 AS qx2, 550.0 - y1 / 2.0 AS qy2,
+    CASE WHEN "offset" % 4 = 0 THEN reverse(text)
+         ELSE translate(text, 'ae', 'ea') END AS ocr
+  FROM k WHERE conf > 0.3 AND kind IN {_ARB_SET_SQL}
+), pairs AS (
+  SELECT d.doc_id, d.page, d."offset", l.l_offset, l.l_text
+  FROM dets d JOIN layer l ON d.doc_id = l.doc_id AND d.page = l.page
+  WHERE greatest(least(d.qx2, l.lx2) - greatest(d.qx1, l.lx1), 0)
+      * greatest(least(d.qy2, l.ly2) - greatest(d.qy1, l.ly1), 0)
+      > 0.5 * least((d.qx2-d.qx1)*(d.qy2-d.qy1), (l.lx2-l.lx1)*(l.ly2-l.ly1))
+    AND least((d.qx2-d.qx1)*(d.qy2-d.qy1), (l.lx2-l.lx1)*(l.ly2-l.ly1)) > 0
+), gathered AS (
+  SELECT doc_id, page, "offset",
+    string_agg(replace(l_text, chr(10), ''), '' ORDER BY l_offset)
+      AS pdf_text
+  FROM pairs GROUP BY doc_id, page, "offset"
+), arb AS (
+  SELECT d.doc_id, d.page, d.dy1, d.col, d.kind, d.ocr,
+    COALESCE(g.pdf_text, '') AS pdf_text
+  FROM dets d LEFT JOIN gathered g
+    ON d.doc_id = g.doc_id AND d.page = g.page AND d."offset" = g."offset"
+), picked AS (
+  SELECT doc_id, page, dy1, col, kind,
+    CASE WHEN levenshtein(ocr, pdf_text) * 1.0
+              / greatest(length(ocr), length(pdf_text), 1) < 0.2
+         THEN pdf_text ELSE ocr END AS text
+  FROM arb
+), emitted AS (
+  SELECT * FROM picked
+  WHERE NOT (text LIKE '图%' OR text LIKE '表%')
+    AND NOT (length(text) < 256
+             AND (text LIKE '%见表%' OR text LIKE '%见图%'))
+)
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY page, col, dy1) - 1
+       AS INT) AS "order",
+  kind, text, CAST(NULL AS VARCHAR) AS media_ref
+FROM emitted
+"""
 
 DUAL_SIMPLE_SQL = f"""
 WITH blocks AS (
@@ -11606,6 +11685,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_pr_eval": (q_minhash_pr_eval, MINHASH_PR_EVAL_SQL),
     "unigram_drift": (q_unigram_drift, UNIGRAM_DRIFT_SQL),
     # --- end of never-driver-checked block (43); round-5 additions below ---
+    "dual_depth1": (q_dual_depth1, DUAL_DEPTH1_SQL),
     "flagship_threecol": (q_flagship_threecol, FLAGSHIP_THREECOL_SQL),
     "flagship_decay": (q_flagship_decay, FLAGSHIP_DECAY_SQL),
     "dual_extract": (q_dual_extract, None),

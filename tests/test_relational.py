@@ -36,6 +36,7 @@ SUBSET = [
     "position_rank",
     "dual_arbitrate",
     "dual_simple",
+    "dual_depth1",
     "cetd_simple",
     "flagship_simple",
     "flagship_depth1",
