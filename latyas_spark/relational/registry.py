@@ -6173,6 +6173,112 @@ FROM a3 LEFT JOIN p ON a3.vec_id = p.vb
 )
 
 
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family dedup agreement report — the eval a real curation
+    run does BEFORE committing to one dedup stack: which documents the
+    lexical family (MinHash-LSH candidate pairs, min-id keep rule:
+    drop doc_b of every pair) and the semantic family (SemDeDup
+    within-cluster near-match, min-id keep rule) would each drop, and
+    how much the two drop sets agree.  One row per doc dropped by at
+    least one family: (doc_id, by_minhash, by_semdedup) plus the
+    set-level tallies (n_minhash, n_semdedup, n_both, n_union) and
+    floor-ppm Jaccard of the two drop sets repeated on every row, so
+    a single hash-checked frame carries both the per-doc detail and
+    the headline agreement number.
+
+    100 TB shape: both inputs are the already-scale-safe operators
+    reused verbatim — the LSH side is bucketed with the cap-64 skew
+    guard (q_minhash_pairs), the semantic side is the broadcast-Lloyd
+    chain with within-cluster-only compares (q_semdedup); each reduces
+    to a doc-space drop frame, the full join keys on doc_id, and the
+    summary is a 1-row combinable agg attached by broadcast cross
+    join.  All-integer output (bool flags + counts + floor ppm) —
+    cross-engine hash-exact."""
+    mh = (
+        q_minhash_pairs(spark, sf_dir)
+        .select(F.col("doc_b").cast("long").alias("doc_id"))
+        .distinct()
+        .withColumn("by_minhash", F.lit(True))
+    )
+    sd = (
+        q_semdedup(spark, sf_dir)
+        .filter(F.col("is_dup"))
+        .select(F.col("vec_id").cast("long").alias("doc_id"))
+        .withColumn("by_semdedup", F.lit(True))
+    )
+    flags = mh.join(sd, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce("by_minhash", F.lit(False)).alias("by_minhash"),
+        F.coalesce("by_semdedup", F.lit(False)).alias("by_semdedup"),
+    )
+    summary = flags.agg(
+        F.sum(F.when(F.col("by_minhash"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_minhash"),
+        F.sum(F.when(F.col("by_semdedup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_semdedup"),
+        F.sum(
+            F.when(F.col("by_minhash") & F.col("by_semdedup"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+    )
+    return flags.crossJoin(F.broadcast(summary)).select(
+        "doc_id",
+        "by_minhash",
+        "by_semdedup",
+        "n_minhash",
+        "n_semdedup",
+        "n_both",
+        "n_union",
+        F.floor(F.col("n_both") * 1000000 / F.col("n_union"))
+        .cast("long")
+        .alias("jaccard_ppm"),
+    )
+
+
+DEDUP_AGREEMENT_SQL = (
+    "WITH "
+    + _MINHASH_CTES
+    + ", "
+    + _KM_CTE.strip()[len("WITH ") :]
+    + f""",
+p AS (
+  SELECT b.vec_id AS vb, min(a.vec_id) AS rep
+  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(list_zip(a.iv, b.iv),
+          q -> (q[1] - q[2]) * (q[1] - q[2]))) AS BIGINT) <= {_SD_T}
+  GROUP BY b.vec_id
+), mh AS (
+  SELECT DISTINCT CAST(doc_b AS BIGINT) AS doc_id FROM pairs
+), sd AS (
+  SELECT CAST(vb AS BIGINT) AS doc_id FROM p
+), flags AS (
+  SELECT COALESCE(mh.doc_id, sd.doc_id) AS doc_id,
+    mh.doc_id IS NOT NULL AS by_minhash,
+    sd.doc_id IS NOT NULL AS by_semdedup
+  FROM mh FULL JOIN sd ON mh.doc_id = sd.doc_id
+), s AS (
+  SELECT
+    CAST(SUM(CASE WHEN by_minhash THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_minhash,
+    CAST(SUM(CASE WHEN by_semdedup THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_semdedup,
+    CAST(SUM(CASE WHEN by_minhash AND by_semdedup THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_both,
+    CAST(COUNT(*) AS BIGINT) AS n_union
+  FROM flags
+)
+SELECT f.doc_id, f.by_minhash, f.by_semdedup,
+  s.n_minhash, s.n_semdedup, s.n_both, s.n_union,
+  CAST(floor(s.n_both * 1000000.0 / s.n_union) AS BIGINT) AS jaccard_ppm
+FROM flags f, s
+"""
+)
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation funnel as ONE declarative DAG —
     quality gate -> exact dedup (canonical keep) -> benchmark
@@ -11686,6 +11792,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "unigram_drift": (q_unigram_drift, UNIGRAM_DRIFT_SQL),
     # --- end of never-driver-checked block (43); round-5 additions below ---
     "dual_depth1": (q_dual_depth1, DUAL_DEPTH1_SQL),
+    "dedup_agreement": (q_dedup_agreement, DEDUP_AGREEMENT_SQL),
     "flagship_threecol": (q_flagship_threecol, FLAGSHIP_THREECOL_SQL),
     "flagship_decay": (q_flagship_decay, FLAGSHIP_DECAY_SQL),
     "dual_extract": (q_dual_extract, None),

@@ -37,6 +37,7 @@ SUBSET = [
     "dual_arbitrate",
     "dual_simple",
     "dual_depth1",
+    "dedup_agreement",
     "cetd_simple",
     "flagship_simple",
     "flagship_depth1",
