@@ -23,6 +23,13 @@ Callers gate on ``iceberg_jar_present()``; the test suite
 sandboxes.  The control flow deliberately mirrors
 ``checkpoint.run_checkpointed`` (same drift guard, same fail_after
 hook, same summary dict) so the two backends stay drop-in swappable.
+
+All checkpoint-commit PLANNING — DDL strings, the overwrite-filter
+predicate, config-drift checking, the resume work list, manifest row
+construction — is factored into pure functions below, unit-tested
+without a live catalog (tests/test_iceberg_optional.py's ungated
+half); only the thin executors that call ``spark.sql``/``writeTo``
+remain jar-gated.
 """
 
 from __future__ import annotations
@@ -30,7 +37,7 @@ from __future__ import annotations
 import glob
 import os
 import time
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +46,114 @@ from ..core.document import DEFAULT_CONFIG, ExtractConfig
 from .checkpoint import config_fingerprint, with_bucket
 from .extract import MEGA_THRESHOLD, extract_spans_flat
 from .session import build_session
+
+# Manifest schema shared by the commit path and the pure row builder.
+CHECKPOINT_SCHEMA = (
+    "run_id string, bucket int, status string, "
+    "config_sha string, spans bigint, wall_sec double, "
+    "lineage array<struct<partition_id: int, spans: bigint>>"
+)
+
+
+# -- pure planning functions (no catalog, no JVM) ---------------------------
+
+
+def spans_table_ddl(ns: str, doc_id_buckets: int = 64) -> str:
+    """DDL for the span table: partitioned by BOTH the hidden
+    ``bucket(doc_id)`` transform (read-side pruning on doc_id) and the
+    explicit ``ckpt_bucket`` column (the checkpoint commit unit the
+    overwrite filter targets)."""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {ns}.spans (\n"
+        "  doc_id STRING, `order` INT, kind STRING, text STRING,\n"
+        "  media_ref STRING, _pid INT, ckpt_bucket INT\n"
+        ") USING iceberg\n"
+        f"PARTITIONED BY (ckpt_bucket, bucket({doc_id_buckets}, doc_id))"
+    )
+
+
+def checkpoint_table_ddl(ns: str) -> str:
+    """DDL for the checkpoint manifest table (one row per completed
+    bucket, lineage as a nested array)."""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {ns}.checkpoint (\n"
+        "  run_id STRING, bucket INT, status STRING, config_sha STRING,\n"
+        "  spans BIGINT, wall_sec DOUBLE,\n"
+        "  lineage ARRAY<STRUCT<partition_id: INT, spans: BIGINT>>\n"
+        ") USING iceberg"
+    )
+
+
+def overwrite_filter_sql(bucket: int) -> str:
+    """The overwrite-by-filter predicate for one checkpoint bucket, as
+    SQL text (the string form a ``writeTo(...).overwrite(expr(...))``
+    call or an audit log records).  Validates the bucket id — a
+    non-int would silently overwrite the wrong rows."""
+    if not isinstance(bucket, int) or isinstance(bucket, bool):
+        raise TypeError(f"bucket must be int, got {type(bucket).__name__}")
+    if bucket < 0:
+        raise ValueError(f"bucket must be >= 0, got {bucket}")
+    return f"ckpt_bucket = {bucket}"
+
+
+def doc_id_prune_sql(doc_id: str) -> str:
+    """The read-side predicate that prunes to one hidden-bucket file
+    set.  Iceberg derives the bucket from the HIDDEN transform — the
+    reader never names it, it just filters on doc_id."""
+    escaped = doc_id.replace("'", "''")
+    return f"doc_id = '{escaped}'"
+
+
+def check_config_drift(
+    done_rows: Sequence[tuple], fp: str
+) -> set:
+    """Validate resume state against this run's config fingerprint.
+
+    ``done_rows`` is [(bucket, config_sha), ...] from the manifest.
+    Returns the set of completed bucket ids; raises ValueError on any
+    bucket extracted under a DIFFERENT config (finishing a run under a
+    changed config would silently mix extraction semantics)."""
+    for b, prev in done_rows:
+        if prev is not None and prev != fp:
+            raise ValueError(
+                f"resume config drift: bucket {b} was extracted under "
+                f"config_sha {prev[:12]}..., this run is {fp[:12]}...; "
+                "finish with the original config or write to a new table"
+            )
+    return {b for b, _ in done_rows}
+
+
+def remaining_buckets(n_buckets: int, done: set) -> list:
+    """The resume work list: bucket ids still to extract, in commit
+    order.  Ids in ``done`` outside [0, n_buckets) are tolerated (a
+    widened re-run with fewer buckets skips them naturally)."""
+    return [b for b in range(n_buckets) if b not in done]
+
+
+def manifest_row(
+    run_id: str,
+    bucket: int,
+    fp: str,
+    lineage_rows: Sequence[tuple],
+    wall_sec: float,
+) -> tuple:
+    """One manifest row (CHECKPOINT_SCHEMA order) from the per-Spark-
+    partition lineage counts [(partition_id, spans), ...].  The span
+    total is derived from the lineage, never passed separately — the
+    two cannot disagree."""
+    lrows = sorted((int(p), int(c)) for p, c in lineage_rows)
+    return (
+        run_id,
+        bucket,
+        "done",
+        fp,
+        sum(c for _, c in lrows),
+        round(wall_sec, 3),
+        [{"partition_id": p, "spans": c} for p, c in lrows],
+    )
+
+
+# -- jar-gated executors ----------------------------------------------------
 
 
 def iceberg_jar_present() -> bool:
@@ -94,31 +209,11 @@ def ensure_tables(
     n_buckets: int,
     doc_id_buckets: int = 64,
 ) -> None:
-    """Create the span + checkpoint tables if absent.
-
-    The spans table is partitioned by BOTH the hidden
-    ``bucket(doc_id)`` transform (read-side pruning on doc_id) and the
-    explicit ``ckpt_bucket`` column (the checkpoint commit unit the
-    overwrite filter targets)."""
+    """Create the span + checkpoint tables if absent (DDL from the
+    pure builders above)."""
     spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {ns}")
-    spark.sql(
-        f"""
-        CREATE TABLE IF NOT EXISTS {ns}.spans (
-          doc_id STRING, `order` INT, kind STRING, text STRING,
-          media_ref STRING, _pid INT, ckpt_bucket INT
-        ) USING iceberg
-        PARTITIONED BY (ckpt_bucket, bucket({doc_id_buckets}, doc_id))
-        """
-    )
-    spark.sql(
-        f"""
-        CREATE TABLE IF NOT EXISTS {ns}.checkpoint (
-          run_id STRING, bucket INT, status STRING, config_sha STRING,
-          spans BIGINT, wall_sec DOUBLE,
-          lineage ARRAY<STRUCT<partition_id: INT, spans: BIGINT>>
-        ) USING iceberg
-        """
-    )
+    spark.sql(spans_table_ddl(ns, doc_id_buckets))
+    spark.sql(checkpoint_table_ddl(ns))
 
 
 def completed_buckets_iceberg(spark: SparkSession, ns: str) -> list:
@@ -155,22 +250,12 @@ def run_checkpointed_iceberg(
     re-runs that bucket; the overwrite makes that safe)."""
     fp = config_fingerprint(cfg, mega_threshold)
     ensure_tables(spark, ns, n_buckets)
-    done_rows = completed_buckets_iceberg(spark, ns)
-    for b, prev in done_rows:
-        if prev is not None and prev != fp:
-            raise ValueError(
-                f"resume config drift: bucket {b} was extracted under "
-                f"config_sha {prev[:12]}..., this run is {fp[:12]}...; "
-                "finish with the original config or write to a new table"
-            )
-    done = {b for b, _ in done_rows}
+    done = check_config_drift(completed_buckets_iceberg(spark, ns), fp)
     bucketed = with_bucket(joined, n_buckets)
 
     spans_written = 0
     processed = 0
-    for b in range(n_buckets):
-        if b in done:
-            continue
+    for b in remaining_buckets(n_buckets, done):
         if fail_after is not None and processed >= fail_after:
             raise RuntimeError(f"injected failure after {processed} buckets")
         t0 = time.perf_counter()
@@ -180,8 +265,9 @@ def run_checkpointed_iceberg(
             "ckpt_bucket", F.lit(b).cast("int")
         )
         # the overwrite-by-filter commit: replaces exactly this
-        # bucket's rows in one atomic Iceberg snapshot
-        spans.writeTo(f"{ns}.spans").overwrite(F.col("ckpt_bucket") == b)
+        # bucket's rows in one atomic Iceberg snapshot (predicate text
+        # = overwrite_filter_sql(b))
+        spans.writeTo(f"{ns}.spans").overwrite(F.expr(overwrite_filter_sql(b)))
 
         written = spark.table(f"{ns}.spans").filter(
             F.col("ckpt_bucket") == b
@@ -190,27 +276,12 @@ def run_checkpointed_iceberg(
         lrows = [
             (int(r["_pid"]), int(r["cnt"])) for r in lineage.collect()
         ]
-        n_spans = sum(c for _, c in lrows)
-        manifest = spark.createDataFrame(
-            [
-                (
-                    run_id,
-                    b,
-                    "done",
-                    fp,
-                    n_spans,
-                    round(time.perf_counter() - t0, 3),
-                    [{"partition_id": p, "spans": c} for p, c in lrows],
-                )
-            ],
-            schema=(
-                "run_id string, bucket int, status string, "
-                "config_sha string, spans bigint, wall_sec double, "
-                "lineage array<struct<partition_id: int, spans: bigint>>"
-            ),
+        row = manifest_row(
+            run_id, b, fp, lrows, time.perf_counter() - t0
         )
+        manifest = spark.createDataFrame([row], schema=CHECKPOINT_SCHEMA)
         manifest.writeTo(f"{ns}.checkpoint").append()
-        spans_written += n_spans
+        spans_written += row[4]
         processed += 1
 
     return {
