@@ -456,6 +456,23 @@ def test_scale_ops_plan_shuffle_counts(name, spark, sf001_dir):
     assert shuffles == _PLAN_SHUFFLES[name], plan
 
 
+def test_ngram_novelty_single_corpus_scan(spark, sf001_dir):
+    """Both consumers of the gram frame (per-doc size, first-occurrence
+    agg) must read the ONE lazily-checkpointed frame — zero parquet
+    scans in the final plan means the corpus tokenize runs once, and
+    the within-doc dedup is array_distinct BEFORE the explode, so no
+    global DISTINCT exchange either (exactly 2 shuffles: gram-key agg
+    + doc-key agg)."""
+    plan = (
+        R.q_ngram_novelty(spark, sf001_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, plan
+
+
 def test_bpe_encode_merge_table_is_broadcast(spark, sf001_dir):
     """The learned merge must reach the corpus as a broadcast, never a
     shuffled join — that is the whole scan-speed-encode argument."""
