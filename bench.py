@@ -763,6 +763,15 @@ def main() -> None:
         # insurance after an unmonitored local[32] leg let a stolen
         # window report efficiency 0.275 as "valid".
         corpus_wide = _fixture_corpus(BENCH_DOCS_WIDE)
+        # PAIRED MODE (round-5): every attempt window measures BOTH
+        # feeds — direct legs, then warehouse legs (doc_id-bucketed
+        # tables; the kernel's input Exchange disappears, ~7x less
+        # shuffle written, BENCH/SCALING_PROFILE.md; this is the plan a
+        # 100 TB deployment runs, SURVEY §4.3) — under ONE quiet gate,
+        # so the direct-vs-warehouse comparison is never confounded by
+        # window-to-window host drift (the round-3/4 failure mode:
+        # single unpaired warehouse windows produced 0.582/0.667
+        # against direct numbers from DIFFERENT windows).
         attempts_8_32 = []
         for a in range(2):
             if attempts_8_32 and (
@@ -778,38 +787,6 @@ def main() -> None:
                 "local[32]", corpus_wide, BENCH_DOCS_WIDE, n_timed=1,
                 monitor=True,
             )
-            a_valid = (
-                quiet[f"secondary{a}"] >= QUIET_NOMINAL
-                and _rate_ok(r8["inrun_rate"], width=8)
-                and _rate_ok(r32["inrun_rate"], width=32)
-            )
-            attempts_8_32.append(
-                {
-                    "attempt": a,
-                    "r8": r8,
-                    "r32": r32,
-                    "valid": bool(a_valid),
-                    "efficiency": round(
-                        (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0, 3
-                    ),
-                }
-            )
-            if a_valid:
-                break
-        chosen = next(
-            (x for x in attempts_8_32 if x["valid"]), attempts_8_32[-1]
-        )
-        r8, r32 = chosen["r8"], chosen["r32"]
-        # Warehouse-fed 8->32 pair: same corpus, same widths, but the
-        # timed job reads doc_id-bucketed tables (ingest excluded — the
-        # pay-once write-side cost), so the kernel's input Exchange
-        # disappears (~7x less shuffle written; BENCH/SCALING_PROFILE.md).
-        # This is the plan a 100 TB deployment runs (SURVEY §4.3), so its
-        # scaling is reported alongside the direct feed's.  One attempt,
-        # deadline-boxed; validity gated exactly like the direct pair.
-        wh_pair = None
-        if time.perf_counter() - t_scaling <= SCALING_DEADLINE_SEC * 1.2:
-            quiet["warehouse"] = _wait_for_quiet()
             w8 = _run_extraction(
                 "local[8]", corpus_wide, BENCH_DOCS_WIDE, n_timed=1,
                 monitor=True, feed="warehouse",
@@ -818,24 +795,55 @@ def main() -> None:
                 "local[32]", corpus_wide, BENCH_DOCS_WIDE, n_timed=1,
                 monitor=True, feed="warehouse",
             )
-            wh_pair = {
-                "thr_local8": w8["docs_per_sec"],
-                "thr_local32": w32["docs_per_sec"],
-                "wall_local8": w8["wall_sec"],
-                "wall_local32": w32["wall_sec"],
-                "inrun_min_local8": w8["inrun_rate"]["min"],
-                "inrun_avg_local8": w8["inrun_rate"]["avg"],
-                "inrun_min_local32": w32["inrun_rate"]["min"],
-                "inrun_avg_local32": w32["inrun_rate"]["avg"],
-                "valid": bool(
-                    quiet["warehouse"] >= QUIET_NOMINAL
-                    and _rate_ok(w8["inrun_rate"], width=8)
-                    and _rate_ok(w32["inrun_rate"], width=32)
-                ),
-                "efficiency": round(
-                    (w32["docs_per_sec"] / w8["docs_per_sec"]) / 4.0, 3
-                ),
-            }
+            a_valid = (
+                quiet[f"secondary{a}"] >= QUIET_NOMINAL
+                and _rate_ok(r8["inrun_rate"], width=8)
+                and _rate_ok(r32["inrun_rate"], width=32)
+            )
+            wh_valid = (
+                quiet[f"secondary{a}"] >= QUIET_NOMINAL
+                and _rate_ok(w8["inrun_rate"], width=8)
+                and _rate_ok(w32["inrun_rate"], width=32)
+            )
+            attempts_8_32.append(
+                {
+                    "attempt": a,
+                    "r8": r8,
+                    "r32": r32,
+                    "w8": w8,
+                    "w32": w32,
+                    "valid": bool(a_valid),
+                    "wh_valid": bool(wh_valid),
+                    "efficiency": round(
+                        (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0, 3
+                    ),
+                    "wh_efficiency": round(
+                        (w32["docs_per_sec"] / w8["docs_per_sec"]) / 4.0, 3
+                    ),
+                }
+            )
+            if a_valid and wh_valid:
+                break
+        chosen = next(
+            (x for x in attempts_8_32 if x["valid"] and x["wh_valid"]),
+            next((x for x in attempts_8_32 if x["valid"]),
+                 attempts_8_32[-1]),
+        )
+        r8, r32 = chosen["r8"], chosen["r32"]
+        w8, w32 = chosen["w8"], chosen["w32"]
+        wh_pair = {
+            "thr_local8": w8["docs_per_sec"],
+            "thr_local32": w32["docs_per_sec"],
+            "wall_local8": w8["wall_sec"],
+            "wall_local32": w32["wall_sec"],
+            "inrun_min_local8": w8["inrun_rate"]["min"],
+            "inrun_avg_local8": w8["inrun_rate"]["avg"],
+            "inrun_min_local32": w32["inrun_rate"]["min"],
+            "inrun_avg_local32": w32["inrun_rate"]["avg"],
+            "valid": chosen["wh_valid"],
+            "paired_with_direct_attempt": chosen["attempt"],
+            "efficiency": chosen["wh_efficiency"],
+        }
         scaling = {
             "rounds": rounds,
             "median_round": median["round"],
@@ -862,8 +870,12 @@ def main() -> None:
             "secondary_attempts": [
                 {"attempt": x["attempt"], "valid": x["valid"],
                  "efficiency": x["efficiency"],
+                 "wh_valid": x["wh_valid"],
+                 "wh_efficiency": x["wh_efficiency"],
                  "thr_local8": x["r8"]["docs_per_sec"],
                  "thr_local32": x["r32"]["docs_per_sec"],
+                 "wh_thr_local8": x["w8"]["docs_per_sec"],
+                 "wh_thr_local32": x["w32"]["docs_per_sec"],
                  "inrun_min_local8": x["r8"]["inrun_rate"]["min"],
                  "inrun_avg_local8": x["r8"]["inrun_rate"]["avg"],
                  "inrun_min_local32": x["r32"]["inrun_rate"]["min"],
