@@ -601,6 +601,19 @@ def synth_blocks_dual_depth1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_dual_columns(synth_blocks_depth1(spark, sf_dir))
 
 
+def synth_blocks_dual_threecol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-column family + the dual-source (E2) columns: the
+    synth_blocks_threecol geometry (exactly TWO provable depth-0 cuts
+    — the nseg>2 multi-segment path) with the _with_dual_columns
+    decoration.  All of synth_blocks_dual_depth1's subset-stability
+    arguments apply unchanged (same 125-pitch y-stacking, same
+    all-pairs column structure per gap), so the dual DAG's candidate
+    dedup across gaps, bisect assignment over multiple cuts, and
+    reversed 3-child push are hash-checked via registry.
+    DUAL_THREECOL_SQL — reading order provably (page, column, y1)."""
+    return _with_dual_columns(synth_blocks_threecol(spark, sf_dir))
+
+
 SYNTH_SIMPLE_SQL = """
 WITH base AS (
   SELECT

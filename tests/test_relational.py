@@ -37,6 +37,7 @@ SUBSET = [
     "dual_arbitrate",
     "dual_simple",
     "dual_depth1",
+    "dual_threecol",
     "dedup_agreement",
     "cetd_simple",
     "flagship_simple",
