@@ -11871,7 +11871,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dual_threecol": (q_dual_threecol, DUAL_THREECOL_SQL),
     "flagship_threecol": (q_flagship_threecol, FLAGSHIP_THREECOL_SQL),
     "flagship_decay": (q_flagship_decay, FLAGSHIP_DECAY_SQL),
-    "dual_extract": (q_dual_extract, None),
     "dual_simple": (q_dual_simple, DUAL_SIMPLE_SQL),
     "cetd_simple": (q_cetd_simple, CETD_SIMPLE_SQL),
     "dedup_incremental": (q_dedup_incremental, DEDUP_INCREMENTAL_SQL),
@@ -11966,6 +11965,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dual_arbitrate": (q_dual_arbitrate, DUAL_ARBITRATE_SQL),
     "mix_interleave": (q_mix_interleave, None),
     "mix_simple": (q_mix_simple, MIX_SIMPLE_SQL),
+    # rows-only umbrellas grouped OUTSIDE the 50-entry driver window so
+    # every windowed entry is hash-checkable (their degenerate twins
+    # simple/depth1/threecol[/decay] are windowed or already checked):
+    "dual_extract": (q_dual_extract, None),
     "flagship_extract": (q_flagship_extract, None),
     "flagship_simple": (q_flagship_simple, FLAGSHIP_SIMPLE_SQL),
     "flagship_depth1": (q_flagship_depth1, FLAGSHIP_DEPTH1_SQL),
