@@ -614,6 +614,26 @@ def synth_blocks_dual_threecol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_dual_columns(synth_blocks_threecol(spark, sf_dir))
 
 
+def synth_blocks_dual_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-decay family + the dual-source (E2) columns: the
+    synth_blocks_decay geometry (a depth-3 cut that fires ONLY because
+    the xy-cut margin decays; a constant-margin mutant falls to the
+    x-major grid sort and emits the B/C pair in the OPPOSITE order)
+    with the _with_dual_columns decoration.
+
+    Subset-stability is already proven for this family for ARBITRARY
+    subsets (synth_blocks_decay docstring: "stays (column, y1) under
+    any conf-filter subset" — removing F creates no in-column depth-0
+    cut, removing B or C leaves singletons), which covers the dual
+    DAG's conf + arb-kind + CJK filtering exactly.  Same-column blocks
+    are y-disjoint and cross-column blocks x-disjoint, so the overlap
+    merge stays the identity and each detection's flipped bbox gathers
+    exactly its own layer text.  So the margin-decay SCHEDULE itself
+    is hash-pinned under the dual kernel (registry.DUAL_DECAY_SQL):
+    losing the decay would flip B/C emission order doc-wide."""
+    return _with_dual_columns(synth_blocks_decay(spark, sf_dir))
+
+
 SYNTH_SIMPLE_SQL = """
 WITH base AS (
   SELECT

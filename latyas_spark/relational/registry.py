@@ -4056,6 +4056,29 @@ def q_dual_threecol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dual_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL oracle for the margin-DECAY schedule under the DUAL kernel:
+    the REAL dual DAG runs over the decay dual family
+    (adapter.synth_blocks_dual_decay) whose B/C pairs are separated by
+    an 8px y-gap that only the depth-3 DECAYED margin (10 -> 10 ->
+    8.75 -> 6.5625) admits — a constant-margin kernel would fall to
+    the x-major grid sort and emit C before B, flipping the doc-wide
+    hash.  flagship_decay pins the schedule for the flagship emission;
+    this pins it composed with C7 flip + gather + arbitration + CJK
+    filters.  Order provably (page, column, y1) for any surviving
+    subset (decay-family docstring's subset argument)."""
+    from dataclasses import replace
+
+    from ..core.document import DEFAULT_CONFIG
+    from ..pipeline.adapter import synth_blocks_dual_decay
+    from ..pipeline.extract import extract_spans_flat
+
+    cfg = replace(DEFAULT_CONFIG, page_height=550.0)
+    return extract_spans_flat(
+        synth_blocks_dual_decay(spark, sf_dir), cfg, dual=True
+    )
+
+
 _ARB_SET_SQL = "('text','title','caption')"
 
 DUAL_DEPTH1_SQL = f"""
@@ -4125,6 +4148,60 @@ WITH blocks AS (
 ), dets AS (
   SELECT doc_id, page, "offset", y1 AS dy1, kind,
     CASE WHEN x1 < 350 THEN 0 WHEN x1 < 650 THEN 1 ELSE 2 END AS col,
+    x1 / 2.0 AS qx1, 550.0 - y2 / 2.0 AS qy1,
+    x2 / 2.0 AS qx2, 550.0 - y1 / 2.0 AS qy2,
+    CASE WHEN "offset" % 4 = 0 THEN reverse(text)
+         ELSE translate(text, 'ae', 'ea') END AS ocr
+  FROM k WHERE conf > 0.3 AND kind IN {_ARB_SET_SQL}
+), pairs AS (
+  SELECT d.doc_id, d.page, d."offset", l.l_offset, l.l_text
+  FROM dets d JOIN layer l ON d.doc_id = l.doc_id AND d.page = l.page
+  WHERE greatest(least(d.qx2, l.lx2) - greatest(d.qx1, l.lx1), 0)
+      * greatest(least(d.qy2, l.ly2) - greatest(d.qy1, l.ly1), 0)
+      > 0.5 * least((d.qx2-d.qx1)*(d.qy2-d.qy1), (l.lx2-l.lx1)*(l.ly2-l.ly1))
+    AND least((d.qx2-d.qx1)*(d.qy2-d.qy1), (l.lx2-l.lx1)*(l.ly2-l.ly1)) > 0
+), gathered AS (
+  SELECT doc_id, page, "offset",
+    string_agg(replace(l_text, chr(10), ''), '' ORDER BY l_offset)
+      AS pdf_text
+  FROM pairs GROUP BY doc_id, page, "offset"
+), arb AS (
+  SELECT d.doc_id, d.page, d.dy1, d.col, d.kind, d.ocr,
+    COALESCE(g.pdf_text, '') AS pdf_text
+  FROM dets d LEFT JOIN gathered g
+    ON d.doc_id = g.doc_id AND d.page = g.page AND d."offset" = g."offset"
+), picked AS (
+  SELECT doc_id, page, dy1, col, kind,
+    CASE WHEN levenshtein(ocr, pdf_text) * 1.0
+              / greatest(length(ocr), length(pdf_text), 1) < 0.2
+         THEN pdf_text ELSE ocr END AS text
+  FROM arb
+), emitted AS (
+  SELECT * FROM picked
+  WHERE NOT (text LIKE '图%' OR text LIKE '表%')
+    AND NOT (length(text) < 256
+             AND (text LIKE '%见表%' OR text LIKE '%见图%'))
+)
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY page, col, dy1) - 1
+       AS INT) AS "order",
+  kind, text, CAST(NULL AS VARCHAR) AS media_ref
+FROM emitted
+"""
+
+DUAL_DECAY_SQL = f"""
+WITH blocks AS (
+{SYNTH_DECAY_SQL}
+), k AS (
+  SELECT *, {CLASSIFY_SQL_CASE} AS kind FROM blocks
+), layer AS (
+  SELECT doc_id, page, "offset" AS l_offset, text AS l_text,
+    x1 / 2.0 AS lx1, 550.0 - y2 / 2.0 AS ly1,
+    x2 / 2.0 AS lx2, 550.0 - y1 / 2.0 AS ly2
+  FROM k WHERE text IS NOT NULL
+), dets AS (
+  SELECT doc_id, page, "offset", y1 AS dy1, kind,
+    CASE WHEN x1 < 350 THEN 0 ELSE 1 END AS col,
     x1 / 2.0 AS qx1, 550.0 - y2 / 2.0 AS qy1,
     x2 / 2.0 AS qx2, 550.0 - y1 / 2.0 AS qy2,
     CASE WHEN "offset" % 4 = 0 THEN reverse(text)
@@ -11869,6 +11946,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dual_depth1": (q_dual_depth1, DUAL_DEPTH1_SQL),
     "dedup_agreement": (q_dedup_agreement, DEDUP_AGREEMENT_SQL),
     "dual_threecol": (q_dual_threecol, DUAL_THREECOL_SQL),
+    "dual_decay": (q_dual_decay, DUAL_DECAY_SQL),
     "flagship_threecol": (q_flagship_threecol, FLAGSHIP_THREECOL_SQL),
     "flagship_decay": (q_flagship_decay, FLAGSHIP_DECAY_SQL),
     "dual_simple": (q_dual_simple, DUAL_SIMPLE_SQL),

@@ -38,6 +38,7 @@ SUBSET = [
     "dual_simple",
     "dual_depth1",
     "dual_threecol",
+    "dual_decay",
     "dedup_agreement",
     "cetd_simple",
     "flagship_simple",
